@@ -1,0 +1,236 @@
+"""Global rotation averaging: L1-IRLS over the view graph, TPU-native.
+
+Counterpart of glomap/estimators/global_rotation_averaging.{h,cc}
+(RotationEstimator: MST init -> SolveL1Regression -> SolveIRLS with
+Geman-McClure weights, tangent-space linearization dR_ij = dR_j - dR_i).
+
+TPU-first re-design instead of the reference's CHOLMOD path:
+  * The linearized residual for edge (i, j) is  e_ij + x_i - x_j  with
+    e_ij = Log(R_j^T R_ij R_i), so the A-matrix blocks are +-I3 and the
+    IRLS normal equations are exactly  (L ⊗ I3) x = rhs  with L the
+    weighted graph Laplacian. Each IRLS sweep is therefore 3 parallel
+    solves with ONE F x F Laplacian: dense Cholesky on the MXU for
+    moderate F, Jacobi-PCG (gather + segment-sum matvec) at scale.
+  * The L1 phase runs IRLS with 1/|r| weights (smoothed) — same robust
+    objective the reference's ADMM minimizes, expressed as a fixed-point
+    iteration that maps to batched dense algebra.
+  * The whole phase is one jitted lax.while_loop: residuals, weights,
+    Laplacian build, solve, and the quaternion retraction
+    q_i <- q_i ⊗ Exp(x_i) are all batched device ops.
+
+Rig handling: edges between images are mapped to frame unknowns by
+conjugating the relative rotation with the (known) sensor_from_rig
+rotations: R'_ij = S_j^T R_ij S_i constrains R_fj = R'_ij R_fi.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from glomap_tpu.config import RotationEstimatorOptions
+from glomap_tpu.math import rotation as rotm
+from glomap_tpu.math import tree as treem
+from glomap_tpu.ops import linear
+
+# Weight modes (static switch inside the jitted step)
+WEIGHT_L1 = 0
+WEIGHT_GEMAN_MCCLURE = 1
+WEIGHT_HALF_NORM = 2
+
+_DENSE_MAX_NODES = 3072
+
+
+@partial(jax.jit, static_argnames=("num_frames", "max_iters", "weight_mode",
+                                   "use_dense", "min_iters"))
+def _irls_phase(quats, fi, fj, q_rel, base_w, edge_valid, fixed,
+                num_frames: int, max_iters: int, weight_mode: int,
+                sigma_rad: float, conv_thresh: float, use_dense: bool,
+                min_iters: int = 1):
+    """One robust phase (L1 or reweighted-L2). Returns (quats, num_iters)."""
+    dtype = quats.dtype
+    valid_w = jnp.where(edge_valid, base_w, 0.0).astype(dtype)
+
+    def residuals(q):
+        # e_ij = Log(q_j^-1 ⊗ q_rel ⊗ q_i)
+        qe = rotm.quat_mul(rotm.quat_conj(q[fj]),
+                           rotm.quat_mul(q_rel, q[fi]))
+        return rotm.quat_to_angle_axis(qe)
+
+    def weights_from_residual(e):
+        enorm = jnp.linalg.norm(e, axis=-1)
+        if weight_mode == WEIGHT_L1:
+            w = 1.0 / jnp.maximum(enorm, 1e-5)
+        elif weight_mode == WEIGHT_GEMAN_MCCLURE:
+            s2 = sigma_rad * sigma_rad
+            w = (s2 / (enorm * enorm + s2)) ** 2
+        else:  # HALF_NORM: IRLS weight for ||.||^(1/2)
+            w = jnp.maximum(enorm, 1e-5) ** (-1.5)
+        return w * valid_w
+
+    def step(q):
+        e = residuals(q)
+        w = weights_from_residual(e)
+        # rhs: edge contributes -w*e at i, +w*e at j
+        rhs = jnp.zeros((num_frames, 3), dtype=dtype)
+        rhs = rhs.at[fi].add(-w[:, None] * e)
+        rhs = rhs.at[fj].add(w[:, None] * e)
+        if use_dense:
+            x = linear.solve_laplacian_dense(fi, fj, w, rhs, num_frames,
+                                             fixed)
+        else:
+            x = linear.solve_laplacian_cg(fi, fj, w, rhs, num_frames, fixed,
+                                          max_iters=300)
+        q_new = rotm.quat_normalize(
+            rotm.quat_mul(q, rotm.so3_exp_quat(x.astype(dtype))))
+        step_size = jnp.sum(jnp.linalg.norm(x, axis=-1)) / (num_frames - 1)
+        return q_new, step_size
+
+    def cond(state):
+        _, it, last_step = state
+        return (it < max_iters) & ((it < min_iters) |
+                                   (last_step > conv_thresh))
+
+    def body(state):
+        q, it, _ = state
+        q_new, s = step(q)
+        return (q_new, it + 1, s)
+
+    q, it, _ = jax.lax.while_loop(cond, body,
+                                  (quats, 0, jnp.asarray(1e30, dtype)))
+    return q, it
+
+
+def _init_from_mst(num_frames, fi, fj, q_rel, weights):
+    """Compose relative rotations along the max spanning tree (host).
+
+    Counterpart of InitializeFromMaximumSpanningTree
+    (global_rotation_averaging.cc:87), with inlier counts as weights.
+    """
+    parent, order, root = treem.maximum_spanning_tree(
+        num_frames, fi, fj, weights)
+    # edge lookup keyed (min, max) keeping the max-weight edge
+    best = {}
+    for k in range(len(fi)):
+        key = (min(fi[k], fj[k]), max(fi[k], fj[k]))
+        if key not in best or weights[k] > weights[best[key]]:
+            best[key] = k
+    quats = np.zeros((num_frames, 4))
+    quats[:, 0] = 1.0
+    q_rel_np = np.asarray(q_rel)
+    for v in order:
+        u = parent[v]
+        if u < 0:
+            continue
+        k = best.get((min(u, v), max(u, v)))
+        if k is None:
+            continue
+        if fi[k] == u and fj[k] == v:
+            # R_v = R_rel R_u
+            quats[v] = np.asarray(rotm.quat_mul(jnp.asarray(q_rel_np[k]),
+                                                jnp.asarray(quats[u])))
+        else:
+            # R_u = R_rel R_v  =>  R_v = R_rel^-1 R_u
+            quats[v] = np.asarray(rotm.quat_mul(
+                rotm.quat_conj(jnp.asarray(q_rel_np[k])),
+                jnp.asarray(quats[u])))
+    return quats, root
+
+
+def build_frame_edges(scene, view_graph):
+    """Image-pair edges -> frame edges with sensor-conjugated rotations.
+
+    Returns (fi, fj, q_rel, weight) numpy arrays; intra-frame pairs and
+    invalid pairs are dropped.
+    """
+    vg = view_graph
+    mask = vg.pair_valid.copy()
+    im_i, im_j = vg.pair_i, vg.pair_j
+    f_i = scene.image_frame[im_i]
+    f_j = scene.image_frame[im_j]
+    mask &= f_i != f_j
+    idx = np.nonzero(mask)[0]
+    if len(idx) == 0:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros((0, 4)), np.zeros(0))
+    s_i = scene.image_sensor[im_i[idx]]
+    s_j = scene.image_sensor[im_j[idx]]
+    q_pair = jnp.asarray(vg.pair_quat[idx])
+    q_si = jnp.asarray(scene.sensor_quat[s_i])
+    q_sj = jnp.asarray(scene.sensor_quat[s_j])
+    q_eff = rotm.quat_mul(rotm.quat_conj(q_sj),
+                          rotm.quat_mul(q_pair, q_si))
+    w = vg.pair_weight[idx].copy()
+    if not w.any():
+        w = vg.pair_num_inliers[idx].astype(np.float64)
+    return (f_i[idx].astype(np.int32), f_j[idx].astype(np.int32),
+            np.asarray(q_eff), w)
+
+
+def estimate_rotations(scene, view_graph,
+                       opts: RotationEstimatorOptions | None = None,
+                       dtype=jnp.float64) -> bool:
+    """Estimate scene.frame_quat from the view graph's relative rotations.
+
+    Counterpart of RotationEstimator::EstimateRotations
+    (global_rotation_averaging.cc:40): MST init, L1 phase, IRLS phase.
+    """
+    opts = opts or RotationEstimatorOptions()
+    fi, fj, q_rel, w_edge = build_frame_edges(scene, view_graph)
+    num_frames = scene.num_frames
+    if len(fi) == 0 or num_frames == 0:
+        return False
+
+    base_w = w_edge if opts.use_weight else np.ones_like(w_edge)
+
+    if opts.skip_initialization:
+        quats0 = scene.frame_quat.copy()
+        # fixed frame: highest-degree registered frame
+        deg = np.bincount(fi, minlength=num_frames) + \
+            np.bincount(fj, minlength=num_frames)
+        root = int(np.argmax(deg))
+    else:
+        quats0, root = _init_from_mst(num_frames, fi, fj, q_rel, w_edge)
+
+    quats = jnp.asarray(quats0, dtype=dtype)
+    fi_d = jnp.asarray(fi)
+    fj_d = jnp.asarray(fj)
+    q_rel_d = jnp.asarray(q_rel, dtype=dtype)
+    base_w_d = jnp.asarray(base_w, dtype=dtype)
+    valid_d = jnp.ones((len(fi),), dtype=bool)
+    use_dense = num_frames <= _DENSE_MAX_NODES
+
+    sigma_rad = float(np.deg2rad(opts.irls_loss_parameter_sigma))
+    weight_mode = (WEIGHT_GEMAN_MCCLURE
+                   if opts.weight_type == "GEMAN_MCCLURE" else
+                   WEIGHT_HALF_NORM)
+
+    # Phase 1 — L1 (robust against outlier edges). A reference "L1
+    # iteration" is a FULL ADMM solve (~1000 inner steps,
+    # global_rotation_averaging.cc:479-538); our sweeps are single
+    # reweighted solves, so we run more of them, with a minimum-iteration
+    # floor and a tighter per-sweep step threshold (L1-IRLS steps can be
+    # transiently tiny far from the optimum when outlier subtrees conflict).
+    quats, _ = _irls_phase(
+        quats, fi_d, fj_d, q_rel_d, base_w_d, valid_d, root, num_frames,
+        max_iters=max(10 * opts.max_num_l1_iterations, 50),
+        weight_mode=WEIGHT_L1, sigma_rad=sigma_rad,
+        conv_thresh=0.1 * opts.l1_step_convergence_threshold,
+        use_dense=use_dense, min_iters=10)
+
+    # Phase 2 — reweighted least squares (Geman-McClure / half-norm).
+    quats, _ = _irls_phase(
+        quats, fi_d, fj_d, q_rel_d, base_w_d, valid_d, root, num_frames,
+        max_iters=opts.max_num_irls_iterations, weight_mode=weight_mode,
+        sigma_rad=sigma_rad,
+        conv_thresh=opts.irls_step_convergence_threshold,
+        use_dense=use_dense)
+
+    q_final = np.asarray(rotm.quat_normalize(quats), dtype=np.float64)
+    if not np.all(np.isfinite(q_final)):
+        return False
+    scene.frame_quat[:] = q_final
+    return True

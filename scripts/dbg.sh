@@ -1,0 +1,3 @@
+#!/bin/bash
+# run a python script on pure-CPU jax (x64), escaping the TPU sitecustomize
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 PYTHONPATH=/root/repo:$PYTHONPATH exec python "$@"
