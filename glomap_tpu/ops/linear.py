@@ -120,16 +120,18 @@ def solve_laplacian_cg(fi, fj, w, rhs, num_nodes: int, fixed,
 
 
 def cg_generic(matvec, b, minv_diag=None, max_iters: int = 100,
-               tol: float = 1e-8):
-    """Generic (optionally Jacobi-preconditioned) CG for SPD operators.
+               tol: float = 1e-8, precond=None):
+    """Generic preconditioned CG for SPD operators.
 
     b and all iterates share one pytree-free array shape. Used by the BA
     Schur-reduced camera system (matrix-free) and other estimators.
+    `precond` (callable) takes precedence over the diagonal `minv_diag`.
     """
-    if minv_diag is None:
-        precond = lambda r: r
-    else:
-        precond = lambda r: minv_diag * r
+    if precond is None:
+        if minv_diag is None:
+            precond = lambda r: r
+        else:
+            precond = lambda r: minv_diag * r
 
     x0 = jnp.zeros_like(b)
     r0 = b
