@@ -1,0 +1,144 @@
+"""Track observation filters: reprojection, ray angle, triangulation angle.
+
+Counterpart of glomap/processors/track_filter.{h,cc} (TrackFilter::
+FilterTracksByReprojection :7, FilterTracksByAngle :55,
+FilterTrackTriangulationAngle :93) — batched mask updates over the flat
+observation arrays instead of per-track loops; observations are never
+deleted, only invalidated (static shapes).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from glomap_tpu.math import rotation as rotm
+from glomap_tpu.ops import camera_models as cm
+from glomap_tpu.scene.arrays import Scene, Tracks
+
+logger = logging.getLogger(__name__)
+EPS = 1e-12
+
+
+def _obs_geometry(scene: Scene, tracks: Tracks):
+    """Common gathers: per-obs camera-frame point and undistorted ray."""
+    o_img = tracks.obs_image
+    q_img, t_img = scene.image_cam_from_world()
+    q = jnp.asarray(q_img[o_img])
+    t = jnp.asarray(t_img[o_img])
+    X = jnp.asarray(tracks.xyz[tracks.obs_track])
+    pt_cam = rotm.quat_rotate(q, X) + t
+    kp = scene.kp_offset[o_img] + tracks.obs_feature
+    ray = jnp.asarray(scene.kp_ray[kp])
+    return pt_cam, ray, kp
+
+
+def filter_tracks_by_reprojection(scene: Scene, tracks: Tracks,
+                                  max_reprojection_error: float = 1e-2,
+                                  in_normalized_image: bool = True) -> int:
+    """Invalidate observations with reprojection error above threshold
+    (normalized z=1 plane by default, else pixels). Returns #invalidated."""
+    if tracks.num_obs == 0:
+        return 0
+    pt_cam, ray, kp = _obs_geometry(scene, tracks)
+    z = pt_cam[..., 2]
+    if in_normalized_image:
+        proj = pt_cam[..., :2] / jnp.where(jnp.abs(z) < EPS, EPS, z)[..., None]
+        feat = ray[..., :2] / (ray[..., 2:3] + EPS)
+        err = jnp.linalg.norm(proj - feat, axis=-1)
+    else:
+        cams = scene.image_camera[tracks.obs_image]
+        px = cm.img_from_cam(jnp.asarray(scene.cam_params[cams]),
+                             jnp.asarray(scene.cam_kind[cams]), pt_cam)
+        err = jnp.linalg.norm(px - jnp.asarray(scene.kp_xy[kp]), axis=-1)
+    ok = np.asarray((err < max_reprojection_error) & (z >= EPS))
+    bad = tracks.obs_valid & ~ok
+    tracks.obs_valid &= ok
+    n = int(bad.sum())
+    if n:
+        logger.info("Filtered %d observations by reprojection error", n)
+    return n
+
+
+def filter_tracks_by_angle(scene: Scene, tracks: Tracks,
+                           max_angle_error_deg: float = 1.0) -> int:
+    """Invalidate observations whose predicted direction deviates from the
+    observed ray by more than the threshold (2x for uncalibrated)."""
+    if tracks.num_obs == 0:
+        return 0
+    pt_cam, ray, _ = _obs_geometry(scene, tracks)
+    z = pt_cam[..., 2]
+    dir_calc = pt_cam / jnp.maximum(
+        jnp.linalg.norm(pt_cam, axis=-1, keepdims=True), EPS)
+    dot = jnp.sum(dir_calc * ray, axis=-1)
+    calib = scene.cam_has_prior_focal[scene.image_camera[tracks.obs_image]]
+    thres = np.cos(np.deg2rad(max_angle_error_deg))
+    thres_uncalib = np.cos(np.deg2rad(2.0 * max_angle_error_deg))
+    ok = np.asarray((dot > jnp.where(jnp.asarray(calib), thres,
+                                     thres_uncalib)) & (z >= EPS))
+    bad = tracks.obs_valid & ~ok
+    tracks.obs_valid &= ok
+    n = int(bad.sum())
+    if n:
+        logger.info("Filtered %d observations by angle error", n)
+    return n
+
+
+def filter_tracks_by_triangulation_angle(scene: Scene, tracks: Tracks,
+                                         min_angle_deg: float = 1.0) -> int:
+    """Invalidate whole tracks whose maximum pairwise triangulation angle
+    is below min_angle_deg. Returns #tracks invalidated.
+
+    Batched trick: instead of the reference's O(len^2) pairwise loop, a
+    track's max pairwise angle exceeds the threshold iff the bounding cone
+    of its direction set is wide enough; we use the exact criterion
+    max_pair_angle >= max deviation from the (normalized) mean direction,
+    and a cheap upper bound 2*max_dev, bracketing with the per-track
+    min/max dot against the mean. For the small thresholds used (1 deg)
+    we use: max pairwise angle >= max_i angle(dir_i, mean_dir); track is
+    kept if 2 * max_i angle(dir_i, mean) >= threshold AND the exact check
+    confirms for borderline tracks (host, rare).
+    """
+    if tracks.num_obs == 0:
+        return 0
+    centers = scene.image_centers()[tracks.obs_image]
+    d = tracks.xyz[tracks.obs_track] - centers
+    d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), EPS)
+    n_tr = tracks.num_tracks
+    valid = tracks.obs_valid.astype(np.float64)[:, None]
+    sums = np.zeros((n_tr, 3))
+    np.add.at(sums, tracks.obs_track, d * valid)
+    counts = np.zeros(n_tr)
+    np.add.at(counts, tracks.obs_track, valid[:, 0])
+    mean = sums / np.maximum(counts, 1)[:, None]
+    mean = mean / np.maximum(np.linalg.norm(mean, axis=-1, keepdims=True), EPS)
+    dots = np.sum(d * mean[tracks.obs_track], axis=-1)
+    dots = np.where(tracks.obs_valid, dots, 1.0)
+    min_dot = np.ones(n_tr)
+    np.minimum.at(min_dot, tracks.obs_track, dots)
+    max_dev = np.arccos(np.clip(min_dot, -1, 1))
+    thres = np.deg2rad(min_angle_deg)
+    # certainly wide: max deviation from mean already >= threshold
+    wide = max_dev >= thres
+    # certainly narrow: 2 * max deviation < threshold
+    narrow = 2.0 * max_dev < thres
+    borderline = ~wide & ~narrow & (counts > 1)
+    # exact pairwise check on the (few) borderline tracks, host-side
+    cth = np.cos(thres)
+    for t in np.nonzero(borderline)[0]:
+        sel = (tracks.obs_track == t) & tracks.obs_valid
+        dirs = d[sel]
+        G = dirs @ dirs.T
+        wide[t] = bool((G < cth).any())
+    # tracks with <2 valid observations have no pair and are removed, as in
+    # the reference (no pair -> status stays false -> cleared)
+    keep = wide & (counts > 1)
+    bad = tracks.valid & ~keep
+    tracks.valid &= keep
+    n = int(bad.sum())
+    if n:
+        logger.info("Filtered %d tracks by triangulation angle", n)
+    return n

@@ -1,0 +1,118 @@
+"""Bundle adjustment tests: pose/intrinsics/point refinement on synthetic."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from glomap_tpu.config import BundleAdjusterOptions
+from glomap_tpu.controllers.track_establishment import (
+    establish_full_tracks, find_tracks_for_problem)
+from glomap_tpu.estimators.bundle_adjustment import solve_bundle_adjustment
+from glomap_tpu.math import rotation as rotm
+from glomap_tpu.math.sim3 import umeyama_alignment, apply_sim3
+from glomap_tpu.processors.undistortion import undistort_images
+from glomap_tpu.utils.synthetic import SyntheticOptions, synthesize_dataset
+
+
+def _prepare(opt, pose_noise=0.01, point_noise=0.05, focal_noise=0.0,
+             rng_seed=0):
+    scene, vg, gt = synthesize_dataset(opt)
+    undistort_images(scene)
+    tracks = find_tracks_for_problem(scene, establish_full_tracks(scene, vg))
+    rng = np.random.default_rng(rng_seed)
+    # init points at GT + noise (triangulation proxy)
+    kp_point = gt["kp_point"]
+    obs_kp = scene.kp_offset[tracks.obs_image] + tracks.obs_feature
+    obs_point_gt = kp_point[obs_kp]
+    for t in range(tracks.num_tracks):
+        sel = tracks.obs_track == t
+        tracks.xyz[t] = gt["points"][obs_point_gt[sel][0]] + \
+            point_noise * rng.standard_normal(3)
+    # perturb poses
+    w = pose_noise * rng.standard_normal((scene.num_frames, 3))
+    scene.frame_quat = np.array(rotm.quat_mul(
+        jnp.asarray(scene.frame_quat), rotm.so3_exp_quat(jnp.asarray(w))),
+        copy=True)
+    scene.frame_trans = scene.frame_trans + \
+        pose_noise * rng.standard_normal((scene.num_frames, 3))
+    if focal_noise:
+        scene.cam_params[:, 0] *= 1 + focal_noise
+        scene.cam_params[:, 1] *= 1 + focal_noise
+    return scene, vg, tracks, gt
+
+
+def _pose_errors(scene, gt):
+    est_c = scene.frame_centers()
+    gt_c = np.asarray(rotm.pose_center(jnp.asarray(gt["frame_quat"]),
+                                       jnp.asarray(gt["frame_trans"])))
+    s, R, t = umeyama_alignment(est_c, gt_c)
+    center_err = np.linalg.norm(apply_sim3(s, R, t, est_c) - gt_c, axis=-1)
+    # rotation errors via pairwise relative rotations (gauge-free)
+    qe = jnp.asarray(scene.frame_quat)
+    qg = jnp.asarray(gt["frame_quat"])
+    n = scene.num_frames
+    ii, jj = np.triu_indices(n, k=1)
+    rel_e = rotm.quat_mul(qe[ii], rotm.quat_conj(qe[jj]))
+    rel_g = rotm.quat_mul(qg[ii], rotm.quat_conj(qg[jj]))
+    rot_err = np.degrees(np.asarray(rotm.relative_quat_angle_rad(rel_e,
+                                                                 rel_g)))
+    return center_err, rot_err
+
+
+def test_ba_refines_noiseless_to_exact():
+    scene, vg, tracks, gt = _prepare(
+        SyntheticOptions(num_frames_per_rig=12, num_points3D=150, seed=20))
+    assert solve_bundle_adjustment(scene, tracks)
+    c_err, r_err = _pose_errors(scene, gt)
+    # the reference noiseless oracle: <=1e-2 deg rotation, <=1e-4 centers
+    assert r_err.max() < 1e-2
+    assert c_err.max() < 1e-4
+
+
+def test_ba_translation_only_stage():
+    scene, vg, tracks, gt = _prepare(
+        SyntheticOptions(num_frames_per_rig=12, num_points3D=150, seed=21),
+        pose_noise=0.005)
+    q_before = scene.frame_quat.copy()
+    opts = BundleAdjusterOptions(optimize_rotations=False)
+    assert solve_bundle_adjustment(scene, tracks, opts)
+    np.testing.assert_allclose(scene.frame_quat, q_before, atol=1e-12)
+
+
+def test_ba_recovers_focal():
+    scene, vg, tracks, gt = _prepare(
+        SyntheticOptions(num_frames_per_rig=14, num_points3D=200, seed=22,
+                         camera_model=2),  # SIMPLE_RADIAL
+        pose_noise=0.002, point_noise=0.02, focal_noise=0.05)
+    f_gt = 900.0
+    assert abs(scene.cam_params[0, 0] - f_gt) > 20  # perturbed
+    assert solve_bundle_adjustment(scene, tracks)
+    assert abs(scene.cam_params[0, 0] - f_gt) < 2.0
+    # tied focal: fx == fy for SIMPLE_RADIAL
+    np.testing.assert_allclose(scene.cam_params[:, 0], scene.cam_params[:, 1],
+                               atol=1e-9)
+    # principal point frozen by default
+    np.testing.assert_allclose(scene.cam_params[0, 2:4], [512.0, 384.0],
+                               atol=1e-12)
+
+
+def test_ba_noisy_keypoints():
+    scene, vg, tracks, gt = _prepare(
+        SyntheticOptions(num_frames_per_rig=15, num_points3D=300, seed=23,
+                         point2D_stddev=0.5),
+        pose_noise=0.01, point_noise=0.05)
+    assert solve_bundle_adjustment(scene, tracks)
+    c_err, r_err = _pose_errors(scene, gt)
+    # reference noisy oracle envelope: <=1e-1 deg / <=1e-1 units
+    assert r_err.max() < 1e-1
+    assert c_err.max() < 1e-1
+
+
+def test_ba_rig_scene():
+    scene, vg, tracks, gt = _prepare(
+        SyntheticOptions(num_frames_per_rig=10, num_cameras_per_rig=2,
+                         num_points3D=250, seed=24),
+        pose_noise=0.005, point_noise=0.02)
+    assert solve_bundle_adjustment(scene, tracks)
+    c_err, r_err = _pose_errors(scene, gt)
+    assert r_err.max() < 1e-2
+    assert c_err.max() < 1e-3
