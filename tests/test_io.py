@@ -1,0 +1,104 @@
+"""IO round-trip tests: database <-> scene, model write/read, e2e from db."""
+
+import numpy as np
+
+from glomap_tpu.io import colmap_model
+from glomap_tpu.io.convert import (database_to_scene, model_to_scene,
+                                   scene_to_model, write_reconstruction)
+from glomap_tpu.io.database import read_database, write_database
+from glomap_tpu.utils.synthetic import SyntheticOptions, synthesize_dataset
+
+
+def test_database_roundtrip(tmp_path):
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=8, num_points3D=100, seed=40))
+    db_path = str(tmp_path / "test.db")
+    write_database(db_path, scene, vg)
+    db = read_database(db_path)
+    scene2, vg2 = database_to_scene(db)
+
+    assert scene2.num_cameras == scene.num_cameras
+    assert scene2.num_images == scene.num_images
+    np.testing.assert_allclose(scene2.cam_params, scene.cam_params,
+                               atol=1e-9)
+    np.testing.assert_allclose(scene2.kp_xy, scene.kp_xy, atol=1e-3)
+    assert vg2.num_pairs == vg.num_pairs
+    assert vg2.num_matches == vg.num_matches
+    np.testing.assert_allclose(vg2.pair_F, vg.pair_F, atol=1e-12)
+    np.testing.assert_allclose(vg2.pair_quat, vg.pair_quat, atol=1e-12)
+    np.testing.assert_array_equal(vg2.match_f1, vg.match_f1)
+
+
+def test_model_write_read_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    cameras = {1: (1, 640, 480, np.asarray([500.0, 510.0, 320.0, 240.0]))}
+    images = {}
+    for i in [1, 2, 5]:
+        q = rng.standard_normal(4)
+        q /= np.linalg.norm(q)
+        pts = rng.uniform(0, 640, size=(7, 2))
+        ids = np.asarray([-1, 3, -1, 7, 3, -1, 7], dtype=np.int64)
+        images[i] = (q, rng.standard_normal(3), 1, f"img{i}.jpg", pts, ids)
+    points = {
+        3: (rng.standard_normal(3), np.asarray([10, 20, 30], np.uint8), 0.5,
+            [(1, 1), (2, 4)]),
+        7: (rng.standard_normal(3), np.asarray([0, 0, 0], np.uint8), 1.0,
+            [(1, 3), (5, 6)]),
+    }
+    for binary in (True, False):
+        out = str(tmp_path / ("bin" if binary else "txt"))
+        colmap_model.write_model(out, cameras, images, points, binary=binary)
+        c2, i2, p2 = colmap_model.read_model(out)
+        assert set(c2) == {1}
+        np.testing.assert_allclose(c2[1][3], cameras[1][3])
+        assert set(i2) == {1, 2, 5}
+        for k in images:
+            np.testing.assert_allclose(i2[k][0], images[k][0], atol=1e-12)
+            np.testing.assert_allclose(i2[k][4], images[k][4], atol=1e-9)
+            np.testing.assert_array_equal(i2[k][5], images[k][5])
+            assert i2[k][3] == images[k][3]
+        assert set(p2) == {3, 7}
+        np.testing.assert_allclose(p2[3][0], points[3][0], atol=1e-12)
+        assert p2[3][3] == points[3][3]
+
+
+def test_end_to_end_from_database(tmp_path):
+    """DB in -> pipeline -> COLMAP model out -> resume-readable."""
+    import jax.numpy as jnp
+    from glomap_tpu.config import GlobalMapperOptions
+    from glomap_tpu.controllers.global_mapper import GlobalMapper
+    from glomap_tpu.math import rotation as rotm
+    from glomap_tpu.math.sim3 import umeyama_alignment, apply_sim3
+    from glomap_tpu.processors.pair_inliers import image_pairs_inlier_count
+    from glomap_tpu.processors.undistortion import undistort_images
+
+    scene0, vg0, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=10, num_points3D=150, seed=41))
+    db_path = str(tmp_path / "scene.db")
+    write_database(db_path, scene0, vg0)
+
+    scene, vg = database_to_scene(read_database(db_path))
+    undistort_images(scene)
+    image_pairs_inlier_count(scene, vg)
+    opt = GlobalMapperOptions()
+    opt.skip_preprocessing = True
+    opt.skip_view_graph_calibration = True
+    opt.skip_relative_pose_estimation = True
+    opt.skip_retriangulation = True
+    tracks = GlobalMapper(opt).solve(scene, vg)
+    assert tracks is not None
+
+    out = str(tmp_path / "sparse")
+    dirs = write_reconstruction(out, scene, tracks)
+    assert len(dirs) == 1
+
+    # resume-read and verify pose accuracy against GT
+    scene_r, tracks_r = model_to_scene(dirs[0])
+    assert scene_r.num_images == scene.num_images
+    est_c = scene_r.frame_centers()
+    gt_c = np.asarray(rotm.pose_center(jnp.asarray(gt["frame_quat"]),
+                                       jnp.asarray(gt["frame_trans"])))
+    s, R, t = umeyama_alignment(est_c, gt_c)
+    err = np.linalg.norm(apply_sim3(s, R, t, est_c) - gt_c, axis=-1)
+    assert err.max() < 1e-3
+    assert tracks_r.num_tracks > 50
