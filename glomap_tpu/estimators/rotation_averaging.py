@@ -49,10 +49,26 @@ _DENSE_MAX_NODES = 3072
 def _irls_phase(quats, fi, fj, q_rel, base_w, edge_valid, fixed,
                 num_frames: int, max_iters: int, weight_mode: int,
                 sigma_rad: float, conv_thresh: float, use_dense: bool,
-                min_iters: int = 1):
-    """One robust phase (L1 or reweighted-L2). Returns (quats, num_iters)."""
+                min_iters: int = 1, grav_mask=None):
+    """One robust phase (L1 or reweighted-L2). Returns (quats, num_iters).
+
+    grav_mask (F,) in {0,1}: frames with 1 constrain their tangent update
+    to the local up axis e_y (gravity-aligned 1-DoF parameterization,
+    reference global_rotation_averaging.cc gravity rows). Solved with a
+    projected CG instead of the dense Kronecker path.
+    """
     dtype = quats.dtype
     valid_w = jnp.where(edge_valid, base_w, 0.0).astype(dtype)
+    has_constraint = grav_mask is not None
+
+    if has_constraint:
+        def project(x):
+            # constrained frames: keep only the e_y component
+            xg = jnp.zeros_like(x).at[:, 1].set(x[:, 1])
+            return jnp.where(grav_mask[:, None] > 0, xg, x)
+    else:
+        def project(x):
+            return x
 
     def residuals(q):
         # e_ij = Log(q_j^-1 ⊗ q_rel ⊗ q_i)
@@ -71,6 +87,23 @@ def _irls_phase(quats, fi, fj, q_rel, base_w, edge_valid, fixed,
             w = jnp.maximum(enorm, 1e-5) ** (-1.5)
         return w * valid_w
 
+    def solve_projected_cg(w, rhs, max_iters=300):
+        """CG on P L P + (I - P) with the pinned node, in the constrained
+        tangent subspace."""
+        deg = jnp.zeros((num_frames,), dtype=w.dtype)
+        deg = deg.at[fi].add(w)
+        deg = deg.at[fj].add(w)
+        keep = jnp.ones((num_frames,), dtype=w.dtype).at[fixed].set(0.0)
+        b = project(rhs * keep[:, None])
+        minv = keep / jnp.maximum(deg, 1e-12) + (1.0 - keep)
+
+        def mv(x):
+            y = linear.laplacian_matvec(fi, fj, w, deg, project(x), keep)
+            return project(y) + (x - project(x))
+
+        return linear.cg_generic(mv, b, minv_diag=minv[:, None],
+                                 max_iters=max_iters, tol=1e-10)
+
     def step(q):
         e = residuals(q)
         w = weights_from_residual(e)
@@ -78,12 +111,11 @@ def _irls_phase(quats, fi, fj, q_rel, base_w, edge_valid, fixed,
         rhs = jnp.zeros((num_frames, 3), dtype=dtype)
         rhs = rhs.at[fi].add(-w[:, None] * e)
         rhs = rhs.at[fj].add(w[:, None] * e)
-        if use_dense:
+        if use_dense and not has_constraint:
             x = linear.solve_laplacian_dense(fi, fj, w, rhs, num_frames,
                                              fixed)
         else:
-            x = linear.solve_laplacian_cg(fi, fj, w, rhs, num_frames, fixed,
-                                          max_iters=300)
+            x = solve_projected_cg(w, rhs)
         q_new = rotm.quat_normalize(
             rotm.quat_mul(q, rotm.so3_exp_quat(x.astype(dtype))))
         step_size = jnp.sum(jnp.linalg.norm(x, axis=-1)) / (num_frames - 1)
@@ -140,14 +172,17 @@ def _init_from_mst(num_frames, fi, fj, q_rel, weights):
     return quats, root
 
 
-def build_frame_edges(scene, view_graph):
+def build_frame_edges(scene, view_graph, pair_mask=None):
     """Image-pair edges -> frame edges with sensor-conjugated rotations.
 
     Returns (fi, fj, q_rel, weight) numpy arrays; intra-frame pairs and
-    invalid pairs are dropped.
+    invalid pairs are dropped. pair_mask optionally restricts to a
+    subgraph (used by the stratified gravity solve).
     """
     vg = view_graph
     mask = vg.pair_valid.copy()
+    if pair_mask is not None:
+        mask &= pair_mask
     im_i, im_j = vg.pair_i, vg.pair_j
     f_i = scene.image_frame[im_i]
     f_j = scene.image_frame[im_j]
@@ -172,19 +207,25 @@ def build_frame_edges(scene, view_graph):
 
 def estimate_rotations(scene, view_graph,
                        opts: RotationEstimatorOptions | None = None,
-                       dtype=jnp.float64) -> bool:
+                       dtype=jnp.float64, pair_mask=None) -> bool:
     """Estimate scene.frame_quat from the view graph's relative rotations.
 
     Counterpart of RotationEstimator::EstimateRotations
     (global_rotation_averaging.cc:40): MST init, L1 phase, IRLS phase.
+    With opts.use_gravity, frames carrying gravity priors are constrained
+    to the 1-DoF gravity-aligned manifold R = R_align(g) R_up(theta)
+    (projected-CG solves; constraint preserved exactly by the e_y tangent
+    retraction).
     """
     opts = opts or RotationEstimatorOptions()
-    fi, fj, q_rel, w_edge = build_frame_edges(scene, view_graph)
+    fi, fj, q_rel, w_edge = build_frame_edges(scene, view_graph, pair_mask)
     num_frames = scene.num_frames
     if len(fi) == 0 or num_frames == 0:
         return False
 
     base_w = w_edge if opts.use_weight else np.ones_like(w_edge)
+
+    use_gravity = opts.use_gravity and scene.frame_has_gravity.any()
 
     if opts.skip_initialization:
         quats0 = scene.frame_quat.copy()
@@ -194,6 +235,23 @@ def estimate_rotations(scene, view_graph,
         root = int(np.argmax(deg))
     else:
         quats0, root = _init_from_mst(num_frames, fi, fj, q_rel, w_edge)
+
+    grav_mask_d = None
+    if use_gravity:
+        from glomap_tpu.math import gravity as gravm
+        g_idx = np.nonzero(scene.frame_has_gravity)[0]
+        R_align = gravm.align_rot(scene.frame_gravity[g_idx])
+        if R_align.ndim == 2:
+            R_align = R_align[None]
+        # snap init onto the gravity manifold: R = R_align R_up(theta*)
+        R0 = np.asarray(rotm.quat_to_rotmat(jnp.asarray(quats0[g_idx])))
+        theta = gravm.closest_up_angle(R_align, R0)
+        R_snap = R_align @ gravm.angle_to_rot_up(theta)
+        quats0 = quats0.copy()
+        quats0[g_idx] = np.asarray(rotm.rotmat_to_quat(jnp.asarray(R_snap)))
+        gm = np.zeros(num_frames)
+        gm[g_idx] = 1.0
+        grav_mask_d = jnp.asarray(gm, dtype=dtype)
 
     quats = jnp.asarray(quats0, dtype=dtype)
     fi_d = jnp.asarray(fi)
@@ -219,7 +277,7 @@ def estimate_rotations(scene, view_graph,
         max_iters=max(10 * opts.max_num_l1_iterations, 50),
         weight_mode=WEIGHT_L1, sigma_rad=sigma_rad,
         conv_thresh=0.1 * opts.l1_step_convergence_threshold,
-        use_dense=use_dense, min_iters=10)
+        use_dense=use_dense, min_iters=10, grav_mask=grav_mask_d)
 
     # Phase 2 — reweighted least squares (Geman-McClure / half-norm).
     quats, _ = _irls_phase(
@@ -227,7 +285,7 @@ def estimate_rotations(scene, view_graph,
         max_iters=opts.max_num_irls_iterations, weight_mode=weight_mode,
         sigma_rad=sigma_rad,
         conv_thresh=opts.irls_step_convergence_threshold,
-        use_dense=use_dense)
+        use_dense=use_dense, grav_mask=grav_mask_d)
 
     q_final = np.asarray(rotm.quat_normalize(quats), dtype=np.float64)
     if not np.all(np.isfinite(q_final)):

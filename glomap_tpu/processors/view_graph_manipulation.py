@@ -1,0 +1,158 @@
+"""View-graph preprocessing: pair-config promotion + relative-pose
+decomposition.
+
+Counterpart of glomap/processors/view_graph_manipulation.{h,cc}:
+  UpdateImagePairsConfig (:178-238) — promote UNCALIBRATED pairs to
+    CALIBRATED when both cameras are majority-calibrated (>50% of their
+    prior-focal pairs already CALIBRATED), recomputing F from the pose.
+  DecomposeRelPose (:240-313) — re-derive cam2_from_cam1 from E by
+    cheirality-voted decomposition over the pair's matches (batched on
+    device instead of the reference's CPU thread pool), normalize the
+    translation, flag pure-rotation pairs.
+  SparsifyGraph / EstablishStrongClusters (:10-177) — random edge
+    subsampling to a target degree and union-find strong clustering.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import jax.numpy as jnp
+
+from glomap_tpu.math import two_view as tv
+from glomap_tpu.scene.arrays import Scene
+from glomap_tpu.scene.view_graph import (
+    ViewGraph, CONFIG_CALIBRATED, CONFIG_UNCALIBRATED, CONFIG_PLANAR,
+    CONFIG_PANORAMIC, CONFIG_PLANAR_OR_PANORAMIC)
+
+logger = logging.getLogger(__name__)
+
+
+def update_image_pairs_config(scene: Scene, vg: ViewGraph) -> int:
+    """Promote UNCALIBRATED pairs between majority-calibrated cameras."""
+    if vg.num_pairs == 0:
+        return 0
+    prior = scene.cam_has_prior_focal
+    ci = scene.image_camera[vg.pair_i]
+    cj = scene.image_camera[vg.pair_j]
+    both_prior = vg.pair_valid & prior[ci] & prior[cj]
+    is_cal = both_prior & (vg.pair_config == CONFIG_CALIBRATED)
+    is_uncal = both_prior & (vg.pair_config == CONFIG_UNCALIBRATED)
+
+    total = np.zeros(scene.num_cameras)
+    calib = np.zeros(scene.num_cameras)
+    for arr, msk in ((ci, is_cal), (cj, is_cal)):
+        np.add.at(calib, arr[msk], 1)
+        np.add.at(total, arr[msk], 1)
+    for arr in (ci, cj):
+        np.add.at(total, arr[is_uncal], 1)
+    cam_ok = np.divide(calib, total, out=np.zeros_like(calib),
+                       where=total > 0) > 0.5
+
+    promote = is_uncal & cam_ok[ci] & cam_ok[cj]
+    idx = np.nonzero(promote)[0]
+    if len(idx):
+        vg.pair_config[idx] = CONFIG_CALIBRATED
+        # recompute F from pose + intrinsics
+        K1i = np.asarray(tv.calib_matrix_inv(
+            scene.cam_params[ci[idx], 0], scene.cam_params[ci[idx], 1],
+            scene.cam_params[ci[idx], 2], scene.cam_params[ci[idx], 3]))
+        K2i = np.asarray(tv.calib_matrix_inv(
+            scene.cam_params[cj[idx], 0], scene.cam_params[cj[idx], 1],
+            scene.cam_params[cj[idx], 2], scene.cam_params[cj[idx], 3]))
+        F = np.asarray(tv.fundamental_from_motion(
+            jnp.asarray(K1i), jnp.asarray(K2i),
+            jnp.asarray(vg.pair_quat[idx]), jnp.asarray(vg.pair_trans[idx])))
+        vg.pair_F[idx] = F
+        logger.info("Promoted %d pairs to CALIBRATED", len(idx))
+    return len(idx)
+
+
+def decompose_rel_pose(scene: Scene, vg: ViewGraph,
+                       pure_rotation_thres: float = 1e-12) -> int:
+    """Re-derive relative poses from E for pairs with calibrated cameras.
+    Returns the number of pure-rotation pairs detected."""
+    if vg.num_pairs == 0:
+        return 0
+    from glomap_tpu.estimators.relpose import _choose_pose
+    from glomap_tpu.processors.undistortion import undistort_images
+
+    prior = scene.cam_has_prior_focal
+    ci = scene.image_camera[vg.pair_i]
+    cj = scene.image_camera[vg.pair_j]
+    use = vg.pair_valid & prior[ci] & prior[cj] & \
+        ((vg.pair_config == CONFIG_CALIBRATED) |
+         (vg.pair_config == CONFIG_PLANAR))
+    if not use.any():
+        return 0
+
+    if not scene.kp_ray.any():
+        undistort_images(scene)
+
+    kp1 = scene.kp_offset[vg.pair_i[vg.match_pair]] + vg.match_f1
+    kp2 = scene.kp_offset[vg.pair_j[vg.match_pair]] + vg.match_f2
+    q, t = _choose_pose(jnp.asarray(vg.pair_E),
+                        jnp.asarray(scene.kp_ray[kp1]),
+                        jnp.asarray(scene.kp_ray[kp2]),
+                        jnp.asarray(vg.match_pair),
+                        jnp.asarray(use[vg.match_pair] & vg.match_inlier),
+                        vg.num_pairs)
+    q = np.asarray(q)
+    t = np.asarray(t)
+    tn = np.linalg.norm(t, axis=-1)
+    t = np.where(tn[:, None] > 1e-12, t / np.maximum(tn[:, None], 1e-12), t)
+    vg.pair_quat[use] = q[use]
+    vg.pair_trans[use] = t[use]
+    # PLANAR pairs with calibrated cameras adopt the decomposed pose
+    vg.pair_config[use & (vg.pair_config == CONFIG_PLANAR)] = \
+        CONFIG_CALIBRATED
+    n_pure = int((use & (tn <= pure_rotation_thres)).sum())
+    logger.info("Decomposed %d pairs (%d pure rotation)", int(use.sum()),
+                n_pure)
+    return n_pure
+
+
+def sparsify_graph(vg: ViewGraph, scene: Scene, expected_degree: int = 50,
+                   seed: int = 1) -> int:
+    """Randomly subsample edges of over-connected nodes to a target degree
+    (counterpart of SparsifyGraph, view_graph_manipulation.cc:10-68).
+    Edge keep probability min(1, expected_degree / min(deg_i, deg_j))."""
+    if vg.num_pairs == 0:
+        return 0
+    rng = np.random.default_rng(seed)
+    deg = np.zeros(scene.num_images, dtype=np.int64)
+    np.add.at(deg, vg.pair_i[vg.pair_valid], 1)
+    np.add.at(deg, vg.pair_j[vg.pair_valid], 1)
+    dmin = np.minimum(deg[vg.pair_i], deg[vg.pair_j])
+    p_keep = np.minimum(1.0, expected_degree / np.maximum(dmin, 1))
+    drop = vg.pair_valid & (rng.uniform(size=vg.num_pairs) > p_keep)
+    vg.pair_valid &= ~drop
+    n = int(drop.sum())
+    if n:
+        logger.info("Sparsified view graph: dropped %d pairs", n)
+    return n
+
+
+def establish_strong_clusters(scene: Scene, vg: ViewGraph,
+                              min_inliers: int = 30,
+                              min_ratio: float = 0.25) -> np.ndarray:
+    """Union-find clustering over 'strong' pairs; weak-only frames get
+    separate clusters (counterpart of EstablishStrongClusters,
+    view_graph_manipulation.cc:70-177, simplified to one pass).
+    Returns per-frame cluster labels (also stored in scene.frame_cluster)."""
+    from glomap_tpu import native
+
+    total = np.maximum(np.diff(vg.pair_match_offset), 1)
+    strong = vg.pair_valid & (vg.pair_num_inliers >= min_inliers) & \
+        (vg.pair_num_inliers / total >= min_ratio)
+    fi = scene.image_frame[vg.pair_i[strong]]
+    fj = scene.image_frame[vg.pair_j[strong]]
+    labels = native.connected_components(scene.num_frames, fi, fj)
+    # relabel by decreasing cluster size so cluster 0 is the largest
+    vals, counts = np.unique(labels, return_counts=True)
+    order = vals[np.argsort(-counts)]
+    remap = {int(v): k for k, v in enumerate(order)}
+    labels = np.asarray([remap[int(v)] for v in labels], dtype=np.int32)
+    scene.frame_cluster[:] = labels
+    return labels

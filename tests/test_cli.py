@@ -1,0 +1,64 @@
+"""CLI tests: mapper, mapper_resume, rotation_averager end to end."""
+
+import numpy as np
+
+from glomap_tpu.cli import main
+from glomap_tpu.io import pose_io
+from glomap_tpu.io.colmap_model import read_model
+from glomap_tpu.io.database import write_database
+from glomap_tpu.scene.arrays import Scene
+from glomap_tpu.utils.synthetic import SyntheticOptions, synthesize_dataset
+
+
+def test_cli_mapper_and_resume(tmp_path):
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=8, num_points3D=120, seed=90))
+    db = str(tmp_path / "db.db")
+    write_database(db, scene, vg)
+
+    out = str(tmp_path / "sparse")
+    rc = main(["mapper", "--database_path", db, "--output_path", out,
+               "--TrackEstablishment.min_num_view_per_track", "3",
+               "--RelPoseEstimation.num_hypotheses=128"])
+    assert rc == 0
+    cams, imgs, pts = read_model(out + "/0")
+    assert len(imgs) == scene.num_images
+    assert len(pts) > 50
+
+    out2 = str(tmp_path / "sparse2")
+    rc = main(["mapper_resume", "--input_path", out + "/0",
+               "--output_path", out2])
+    assert rc == 0
+    cams2, imgs2, pts2 = read_model(out2 + "/0")
+    assert len(imgs2) == scene.num_images
+
+
+def test_cli_rotation_averager(tmp_path):
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=10, num_points3D=120, seed=91))
+    rel = str(tmp_path / "relpose.txt")
+    pose_io.write_rel_poses(rel, scene, vg)
+
+    out = str(tmp_path / "rotations.txt")
+    rc = main(["rotation_averager", "--relpose_path", rel,
+               "--output_path", out])
+    assert rc == 0
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == scene.num_images
+
+    # verify pairwise-relative accuracy against GT
+    import jax.numpy as jnp
+    from glomap_tpu.math import rotation as rotm
+    name_to_q = {}
+    for ln in lines:
+        parts = ln.split()
+        name_to_q[parts[0]] = np.asarray([float(x) for x in parts[1:5]])
+    q_est = np.stack([name_to_q[n] for n in scene.image_names])
+    q_gt = gt["image_quat"]
+    ii, jj = np.triu_indices(len(q_est), k=1)
+    rel_e = rotm.quat_mul(jnp.asarray(q_est)[ii],
+                          rotm.quat_conj(jnp.asarray(q_est)[jj]))
+    rel_g = rotm.quat_mul(jnp.asarray(q_gt)[ii],
+                          rotm.quat_conj(jnp.asarray(q_gt)[jj]))
+    err = np.degrees(np.asarray(rotm.relative_quat_angle_rad(rel_e, rel_g)))
+    assert err.max() < 1e-4

@@ -98,3 +98,46 @@ def test_mapper_rig_scene():
     tracks = mapper.solve(scene, vg)
     assert tracks is not None
     _expect_equal(scene, gt, 1e-2, 1e-3 * 10)
+
+
+def test_mapper_full_pipeline_from_matches_only():
+    """All stages enabled except retriangulation: poses and two-view
+    geometries are re-estimated from scratch (matches + F only)."""
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=12, num_points3D=250, seed=33,
+                         point2D_stddev=0.3, inlier_match_ratio=0.9))
+    # wipe everything the pipeline should recover
+    scene.frame_quat = np.tile([1.0, 0, 0, 0], (scene.num_frames, 1))
+    scene.frame_trans = np.zeros((scene.num_frames, 3))
+    vg.pair_quat = np.tile([1.0, 0, 0, 0], (vg.num_pairs, 1))
+    vg.pair_trans = np.tile([0.0, 0, 1.0], (vg.num_pairs, 1))
+
+    opt = GlobalMapperOptions()
+    opt.skip_retriangulation = True
+    opt.opt_relpose.num_hypotheses = 256
+    mapper = GlobalMapper(opt)
+    tracks = mapper.solve(scene, vg)
+    assert tracks is not None
+    assert scene.frame_registered.sum() >= scene.num_frames - 1
+    _expect_equal(scene, gt, 1e-1, 1e-1)
+
+
+def test_mapper_with_retriangulation():
+    """Full pipeline including the retriangulation stage."""
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=12, num_points3D=200, seed=34,
+                         point2D_stddev=0.3))
+    scene.frame_quat = np.tile([1.0, 0, 0, 0], (scene.num_frames, 1))
+    scene.frame_trans = np.zeros((scene.num_frames, 3))
+    undistort_images(scene)
+    image_pairs_inlier_count(scene, vg)
+
+    opt = GlobalMapperOptions()
+    opt.skip_preprocessing = True
+    opt.skip_view_graph_calibration = True
+    opt.skip_relative_pose_estimation = True
+    tracks = GlobalMapper(opt).solve(scene, vg)
+    assert tracks is not None
+    _expect_equal(scene, gt, 1e-1, 1e-1)
+    # retriangulation should produce a healthy track set
+    assert tracks.num_tracks > 150

@@ -1,0 +1,73 @@
+"""Gravity-aware rotation averaging + gravity refinement tests.
+
+Oracles mirror rotation_averager_test.cc: <=1.5 deg rotations with gravity
+priors under noise+outliers (:354-361); gravity refinement rectifies 30%
+outlier priors to <=1e-2 deg (:404-407).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from glomap_tpu.controllers.rotation_averager import (
+    RotationAveragerOptions, solve_rotation_averaging)
+from glomap_tpu.estimators.gravity_refinement import refine_gravity
+from glomap_tpu.math import gravity as gravm
+from glomap_tpu.math import rotation as rotm
+from glomap_tpu.utils.synthetic import (SyntheticOptions, synthesize_dataset,
+                                        synthesize_gravity)
+from tests.test_rotation_averaging import (pairwise_rotation_errors_deg,
+                                           _perturb_pairs)
+
+
+def test_gravity_exact_noiseless():
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=15, num_points3D=150, seed=80))
+    rng = np.random.default_rng(0)
+    synthesize_gravity(scene, gt, rng)
+    scene.frame_quat = np.tile([1.0, 0, 0, 0], (scene.num_frames, 1))
+    opts = RotationAveragerOptions(use_gravity=True)
+    assert solve_rotation_averaging(scene, vg, opts)
+    errs = pairwise_rotation_errors_deg(scene.frame_quat, gt["frame_quat"])
+    assert errs.max() < 1e-4
+    # solution stays exactly on the gravity manifold
+    down = np.asarray([0.0, 1.0, 0.0])
+    g_est = np.asarray(rotm.quat_rotate(jnp.asarray(scene.frame_quat),
+                                        jnp.asarray(np.tile(down, (scene.num_frames, 1)))))
+    ang = gravm.gravity_angle_deg(g_est, scene.frame_gravity)
+    assert ang.max() < 1e-8
+
+
+def test_gravity_with_noise_and_outlier_pairs():
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=25, num_points3D=250, seed=81))
+    rng = np.random.default_rng(1)
+    synthesize_gravity(scene, gt, rng, noise_deg=0.0)
+    _perturb_pairs(vg, rng, noise_deg=1.0, outlier_ratio=0.15)
+    scene.frame_quat = np.tile([1.0, 0, 0, 0], (scene.num_frames, 1))
+    opts = RotationAveragerOptions(use_gravity=True)
+    assert solve_rotation_averaging(scene, vg, opts)
+    errs = pairwise_rotation_errors_deg(scene.frame_quat, gt["frame_quat"])
+    # reference envelope: <=1.5 deg with gravity priors
+    assert errs.max() < 1.5
+
+
+def test_gravity_refinement_rectifies_outlier_priors():
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=25, num_points3D=250, seed=82))
+    rng = np.random.default_rng(2)
+    synthesize_gravity(scene, gt, rng, noise_deg=0.0, outlier_ratio=0.3)
+    gt_gravity = np.zeros_like(scene.frame_gravity)
+    down = np.asarray([0.0, 1.0, 0.0])
+    for f in range(scene.num_frames):
+        img = np.nonzero(scene.image_frame == f)[0][0]
+        q, _ = scene.image_cam_from_world()
+        gt_gravity[f] = np.asarray(rotm.quat_rotate(jnp.asarray(q[img]),
+                                                    jnp.asarray(down)))
+    before = gravm.gravity_angle_deg(scene.frame_gravity, gt_gravity)
+    assert before.max() > 10  # outliers present
+
+    n = refine_gravity(scene, vg)
+    assert n > 0
+    after = gravm.gravity_angle_deg(scene.frame_gravity, gt_gravity)
+    # reference oracle: <=1e-2 deg after refinement
+    assert after.max() < 1e-2
