@@ -1,0 +1,137 @@
+"""Benchmark: global bundle adjustment iterations/s on one TPU chip.
+
+Builds a gerrard-hall-scale synthetic problem (~100 images, ~300k
+observations; the reference's headline benchmark scene is ~100 images,
+README.md:63-88), warms up the compiled solver, then measures LM
+iterations/s of the full Schur-eliminated BA step (residual+Jacobian
+blocks, point elimination, block-PCG reduced camera solve, cost
+accept/reject) — the hottest kernel of the pipeline (SURVEY.md §3.5).
+
+Baseline: Ceres SPARSE_SCHUR on CPU solves comparable 100-camera/300k
+residual problems at roughly 2 LM iterations/s (multithreaded CHOLMOD;
+the reference repo publishes no numbers — BASELINE.md — so this is the
+documented engineering estimate used for vs_baseline).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache.npz")
+BASELINE_CERES_ITERS_PER_S = 2.0
+
+
+def build_problem():
+    if os.path.exists(CACHE):
+        data = dict(np.load(CACHE, allow_pickle=False))
+        statics = dict(num_frames=int(data.pop("s_num_frames")),
+                       num_cams=int(data.pop("s_num_cams")),
+                       num_points=int(data.pop("s_num_points")))
+        return data, statics
+
+    if os.environ.get("GLOMAP_BENCH_PREPARE") != "1":
+        # Problem setup uses many small host-side ops — run it in a pure-CPU
+        # subprocess (the TPU tunnel would make eager dispatch crawl), then
+        # load the cached arrays here.
+        import subprocess
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["GLOMAP_BENCH_PREPARE"] = "1"
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--prepare"], env=env, check=True,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
+        return build_problem()
+
+    from glomap_tpu.controllers.track_establishment import (
+        establish_full_tracks, find_tracks_for_problem)
+    from glomap_tpu.config import TrackEstablishmentOptions
+    from glomap_tpu.ops.triangulation import triangulate_tracks
+    from glomap_tpu.parallel.sharded_ba import build_ba_inputs
+    from glomap_tpu.processors.undistortion import undistort_images
+    from glomap_tpu.utils.synthetic import (SyntheticOptions,
+                                            synthesize_dataset)
+
+    scene, vg, gt = synthesize_dataset(SyntheticOptions(
+        num_frames_per_rig=100, num_points3D=4000, seed=7,
+        point2D_stddev=0.5, min_common_points=50))
+    undistort_images(scene)
+    topts = TrackEstablishmentOptions(min_num_tracks_per_view=1000,
+                                      max_num_view_per_track=100)
+    tracks = find_tracks_for_problem(
+        scene, establish_full_tracks(scene, vg), topts)
+    triangulate_tracks(scene, tracks)
+    import jax.numpy as jnp
+    params, obs, statics = build_ba_inputs(scene, tracks, dtype=jnp.float32)
+
+    data = {}
+    for k, v in {**params, **obs}.items():
+        data[k] = np.asarray(v)
+    np.savez(CACHE, **data, s_num_frames=statics["num_frames"],
+             s_num_cams=statics["num_cams"],
+             s_num_points=statics["num_points"])
+    return data, statics
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from glomap_tpu.estimators.bundle_adjustment import _solve_ba
+
+    data, sizes = build_problem()
+    num_obs = len(data["o_frame"])
+    print(f"# problem: {sizes['num_frames']} frames, "
+          f"{sizes['num_points']} points, {num_obs} observations on "
+          f"{jax.devices()[0]}", file=sys.stderr)
+
+    args = (jnp.asarray(data["frame_quat"]), jnp.asarray(data["frame_trans"]),
+            jnp.asarray(data["cam_params"]), jnp.asarray(data["points"]),
+            jnp.asarray(data["o_frame"]), jnp.asarray(data["o_cam"]),
+            jnp.asarray(data["o_point"]), jnp.asarray(data["o_sensor_q"]),
+            jnp.asarray(data["o_sensor_t"]), jnp.asarray(data["o_kind"]),
+            jnp.asarray(data["o_uv"]), jnp.asarray(data["cam_T"]),
+            jnp.asarray(data["o_w"]), jnp.asarray(data["frame_mask"]))
+
+    def run(n_iters):
+        out = _solve_ba(*args, num_frames=sizes["num_frames"],
+                        num_cams=sizes["num_cams"],
+                        num_points=sizes["num_points"],
+                        huber_delta=1.0, function_tol=0.0,
+                        max_iters=n_iters, cg_iters=60,
+                        optimize_points=True)
+        jax.block_until_ready(out)
+        return out
+
+    # warmup/compile
+    t0 = time.time()
+    run(1)
+    print(f"# compile+first-iter: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    n_iters = 30
+    t0 = time.time()
+    out = run(n_iters)
+    dt = time.time() - t0
+    it = int(out[5])
+    iters_per_s = it / dt
+    print(f"# {it} LM iters in {dt:.2f}s, final cost {float(out[4]):.4g}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "global_ba_iters_per_s",
+        "value": round(iters_per_s, 3),
+        "unit": "LM iterations/s (100 frames, ~300k obs, f32)",
+        "vs_baseline": round(iters_per_s / BASELINE_CERES_ITERS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--prepare" in sys.argv:
+        build_problem()
+    else:
+        main()

@@ -107,7 +107,7 @@ _resid_and_jac_v = jax.vmap(_resid_and_jac,
 
 @partial(jax.jit, static_argnames=("num_frames", "num_cams", "num_points",
                                    "max_iters", "cg_iters",
-                                   "optimize_points"))
+                                   "optimize_points", "fast_path"))
 def _solve_ba(frame_quat, frame_trans, cam_params, points,
               # static per-obs data
               o_frame, o_cam, o_point, o_sensor_q, o_sensor_t, o_kind,
@@ -116,7 +116,8 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
               frame_mask,
               num_frames: int, num_cams: int, num_points: int,
               huber_delta: float, function_tol: float,
-              max_iters: int, cg_iters: int, optimize_points: bool):
+              max_iters: int, cg_iters: int, optimize_points: bool,
+              fast_path: bool = False):
     dtype = points.dtype
     o_T = cam_T[o_cam]
     eye3 = jnp.eye(3, dtype=dtype)
@@ -134,15 +135,28 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
 
     def lm_step(state):
         fq, ft, cp, X, lam, cost, it, done, _ = state
-        r, J = _resid_and_jac_v(fq[o_frame], ft[o_frame], o_sensor_q,
-                                o_sensor_t, cp[o_cam], o_kind, X[o_point],
-                                o_uv, o_T)
+        if fast_path:
+            # Pallas fused closed-form kernel (valid premise checked by the
+            # caller: every camera distortion-free perspective)
+            from glomap_tpu.ops.pallas_kernels import (ba_resid_jac_pinhole,
+                                                       _on_tpu)
+            r, J = ba_resid_jac_pinhole(
+                fq[o_frame], ft[o_frame], o_sensor_q, o_sensor_t,
+                cp[o_cam], X[o_point], o_uv, interpret=not _on_tpu())
+        else:
+            r, J = _resid_and_jac_v(fq[o_frame], ft[o_frame], o_sensor_q,
+                                    o_sensor_t, cp[o_cam], o_kind,
+                                    X[o_point], o_uv, o_T)
         w = o_w * _huber_weight(jnp.sum(r * r, -1), huber_delta)
         Jf = J[:, :, 0:6] * frame_mask[o_frame][:, None, :]
         Jp = J[:, :, 6:9]
         if not optimize_points:
             Jp = Jp * 0.0
         Jc = J[:, :, 9:25]
+        if fast_path:
+            # fast-path J is w.r.t. raw canonical slots; apply the
+            # per-camera tie/mask matrix (autodiff path bakes it in)
+            Jc = jnp.einsum("ori,oij->orj", Jc, o_T)
 
         wr = w[:, None] * r
         g_f = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jf, wr),
@@ -274,6 +288,13 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
     return fq, ft, cp, X, cost, it
 
 
+def ba_fast_path_ok(scene: Scene) -> bool:
+    """The Pallas closed-form kernel premise: every camera is a
+    distortion-free perspective model (PINHOLE family)."""
+    return bool(np.all(scene.cam_kind == 0) and
+                np.all(scene.cam_params[:, 4:16] == 0.0))
+
+
 def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
                             opts: BundleAdjusterOptions | None = None,
                             dtype=jnp.float64) -> bool:
@@ -319,6 +340,8 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
                              opts.optimize_principal_point)
         for m in scene.cam_model_id])
 
+    fast_path = ba_fast_path_ok(scene)
+
     fq, ft, cp, X, cost, it = _solve_ba(
         jnp.asarray(scene.frame_quat, dtype=dtype),
         jnp.asarray(scene.frame_trans, dtype=dtype),
@@ -334,7 +357,8 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         jnp.asarray(frame_mask, dtype=dtype),
         scene.num_frames, scene.num_cameras, tracks.num_tracks,
         float(opts.thres_loss_function), float(opts.function_tolerance),
-        int(opts.max_num_iterations), 60, bool(opts.optimize_points))
+        int(opts.max_num_iterations), 60, bool(opts.optimize_points),
+        fast_path=fast_path)
 
     fq = np.asarray(fq, dtype=np.float64)
     ft = np.asarray(ft, dtype=np.float64)
