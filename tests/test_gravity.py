@@ -71,3 +71,31 @@ def test_gravity_refinement_rectifies_outlier_priors():
     after = gravm.gravity_angle_deg(scene.frame_gravity, gt_gravity)
     # reference oracle: <=1e-2 deg after refinement
     assert after.max() < 1e-2
+
+
+def test_unknown_rig_sensors_bootstrap():
+    """Reference test counterpart (WithoutNoiseWithNoneTrivialUnknownRig):
+    unknown cam_from_rig rotations are recovered by the trivial-expansion
+    + quaternion-averaging scheme, then the rigged solve succeeds."""
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=8, num_cameras_per_rig=2,
+                         num_points3D=200, seed=83))
+    gt_sensor_quat = scene.sensor_quat.copy()
+    # mark non-reference sensors unknown and scramble their rotations
+    unk = ~scene.sensor_is_ref
+    scene.sensor_known[unk] = False
+    scene.sensor_quat[unk] = [1.0, 0, 0, 0]
+    scene.frame_quat = np.tile([1.0, 0, 0, 0], (scene.num_frames, 1))
+
+    opts = RotationAveragerOptions()
+    assert solve_rotation_averaging(scene, vg, opts)
+
+    errs = pairwise_rotation_errors_deg(scene.frame_quat, gt["frame_quat"])
+    assert errs.max() < 1e-2
+    # sensor rotations recovered too
+    import jax.numpy as jnp
+    from glomap_tpu.math import rotation as rotm2
+    ang = np.degrees(np.asarray(rotm2.relative_quat_angle_rad(
+        jnp.asarray(scene.sensor_quat[unk]),
+        jnp.asarray(gt_sensor_quat[unk]))))
+    assert ang.max() < 1e-2
