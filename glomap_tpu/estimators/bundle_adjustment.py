@@ -84,30 +84,35 @@ def _huber_cost(r2, delta):
 
 
 def _residual_one(qf, tf, qs, ts, cpar, kind, X, uv, T, z):
-    """Residual for one observation at tangent update z (25,)."""
+    """Residual for one observation at tangent update z (25 or 31):
+    [frame w(3), frame dt(3), dX(3), intr(16)[, sensor ws(3), dts(3)]]."""
     w, dt, dX, di = z[0:3], z[3:6], z[6:9], z[9:25]
     qf2 = rotm.quat_mul(qf, rotm.so3_exp_quat(w))
     x = rotm.quat_rotate(qf2, X + dX) + tf + dt
+    if z.shape[0] > 25:
+        qs = rotm.quat_mul(qs, rotm.so3_exp_quat(z[25:28]))
+        ts = ts + z[28:31]
     x = rotm.quat_rotate(qs, x) + ts
     cp = cpar + T @ di
     return cm.img_from_cam(cp, kind, x) - uv
 
 
-def _resid_and_jac(qf, tf, qs, ts, cpar, kind, X, uv, T):
-    z0 = jnp.zeros((25,), dtype=X.dtype)
+def _resid_and_jac(qf, tf, qs, ts, cpar, kind, X, uv, T, zdim=25):
+    z0 = jnp.zeros((zdim,), dtype=X.dtype)
     f = lambda z: _residual_one(qf, tf, qs, ts, cpar, kind, X, uv, T, z)
     r = f(z0)
-    J = jax.jacfwd(f)(z0)  # (2, 25)
+    J = jax.jacfwd(f)(z0)  # (2, zdim)
     return r, J
 
 
 _resid_and_jac_v = jax.vmap(_resid_and_jac,
-                            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))
+                            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None))
 
 
 @partial(jax.jit, static_argnames=("num_frames", "num_cams", "num_points",
-                                   "max_iters", "cg_iters",
-                                   "optimize_points", "fast_path"))
+                                   "num_sensors", "max_iters", "cg_iters",
+                                   "optimize_points", "fast_path",
+                                   "optimize_rig"))
 def _solve_ba(frame_quat, frame_trans, cam_params, points,
               # static per-obs data
               o_frame, o_cam, o_point, o_sensor_q, o_sensor_t, o_kind,
@@ -117,42 +122,59 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
               num_frames: int, num_cams: int, num_points: int,
               huber_delta: float, function_tol: float,
               max_iters: int, cg_iters: int, optimize_points: bool,
-              fast_path: bool = False):
+              fast_path: bool = False,
+              # rig-pose optimization (reference optimize_rig_poses):
+              # sensor poses become unknowns; o_sensor indexes them
+              o_sensor=None, sensor_quat=None, sensor_trans=None,
+              sensor_mask=None, num_sensors: int = 0,
+              optimize_rig: bool = False):
     dtype = points.dtype
     o_T = cam_T[o_cam]
     eye3 = jnp.eye(3, dtype=dtype)
     eye6 = jnp.eye(6, dtype=dtype)
     eye16 = jnp.eye(16, dtype=dtype)
+    zdim = 31 if optimize_rig else 25
 
-    def compute_cost(fq, ft, cp, X):
+    def gather_sensor(sq, st):
+        if optimize_rig:
+            return sq[o_sensor], st[o_sensor]
+        return o_sensor_q, o_sensor_t
+
+    def compute_cost(fq, ft, cp, X, sq=None, st=None):
+        qs_o, ts_o = (o_sensor_q, o_sensor_t) if not optimize_rig \
+            else (sq[o_sensor], st[o_sensor])
+
         def one(qf, tf, qs, ts, cpar, kind, Xp, uv, T):
             return _residual_one(qf, tf, qs, ts, cpar, kind, Xp, uv, T,
                                  jnp.zeros((25,), dtype=dtype))
-        r = jax.vmap(one)(fq[o_frame], ft[o_frame], o_sensor_q, o_sensor_t,
+        r = jax.vmap(one)(fq[o_frame], ft[o_frame], qs_o, ts_o,
                           cp[o_cam], o_kind, X[o_point], o_uv, o_T)
         r2 = jnp.sum(r * r, axis=-1)
         return jnp.sum(o_w * _huber_cost(r2, huber_delta))
 
     def lm_step(state):
-        fq, ft, cp, X, lam, cost, it, done, _ = state
+        fq, ft, cp, X, sq, st, lam, cost, it, done, _ = state
+        qs_o, ts_o = gather_sensor(sq, st)
         if fast_path:
             # Pallas fused closed-form kernel (valid premise checked by the
             # caller: every camera distortion-free perspective)
             from glomap_tpu.ops.pallas_kernels import (ba_resid_jac_pinhole,
                                                        _on_tpu)
             r, J = ba_resid_jac_pinhole(
-                fq[o_frame], ft[o_frame], o_sensor_q, o_sensor_t,
+                fq[o_frame], ft[o_frame], qs_o, ts_o,
                 cp[o_cam], X[o_point], o_uv, interpret=not _on_tpu())
         else:
-            r, J = _resid_and_jac_v(fq[o_frame], ft[o_frame], o_sensor_q,
-                                    o_sensor_t, cp[o_cam], o_kind,
-                                    X[o_point], o_uv, o_T)
+            r, J = _resid_and_jac_v(fq[o_frame], ft[o_frame], qs_o,
+                                    ts_o, cp[o_cam], o_kind,
+                                    X[o_point], o_uv, o_T, zdim)
         w = o_w * _huber_weight(jnp.sum(r * r, -1), huber_delta)
         Jf = J[:, :, 0:6] * frame_mask[o_frame][:, None, :]
         Jp = J[:, :, 6:9]
         if not optimize_points:
             Jp = Jp * 0.0
         Jc = J[:, :, 9:25]
+        if optimize_rig:
+            Js = J[:, :, 25:31] * sensor_mask[o_sensor][:, None, :]
         if fast_path:
             # fast-path J is w.r.t. raw canonical slots; apply the
             # per-camera tie/mask matrix (autodiff path bakes it in)
@@ -165,6 +187,9 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
                                   o_cam, num_segments=num_cams)
         g_p = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jp, wr),
                                   o_point, num_segments=num_points)
+        if optimize_rig:
+            g_s = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Js, wr),
+                                      o_sensor, num_segments=num_sensors)
 
         # block diagonals
         B_f = jax.ops.segment_sum(
@@ -183,16 +208,24 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
                 (lam * diag + floor)[..., None] * eye
             return B + D
 
+        if optimize_rig:
+            B_s = jax.ops.segment_sum(
+                jnp.einsum("ori,o,orj->oij", Js, w, Js), o_sensor,
+                num_segments=num_sensors)
+            B_s_d = damp(B_s, eye6, 1e-8)
         B_f_d = damp(B_f, eye6, 1e-8)
         B_c_d = damp(B_c, eye16, 1e-6)
         B_p_d = damp(B_p, eye3, 1e-10)
         Bp_inv = jnp.linalg.inv(B_p_d) if optimize_points else \
             jnp.broadcast_to(eye3, B_p_d.shape)
 
-        def J_apply(vf, vc):
+        def J_apply(vf, vc, vs):
             """camera-side direction -> per-obs 2-vector"""
-            return (jnp.einsum("ori,oi->or", Jf, vf[o_frame]) +
-                    jnp.einsum("ori,oi->or", Jc, vc[o_cam]))
+            out = (jnp.einsum("ori,oi->or", Jf, vf[o_frame]) +
+                   jnp.einsum("ori,oi->or", Jc, vc[o_cam]))
+            if optimize_rig:
+                out = out + jnp.einsum("ori,oi->or", Js, vs[o_sensor])
+            return out
 
         def JT_scatter(y):
             """per-obs 2-vector (already weighted) -> camera-side grads"""
@@ -200,11 +233,17 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
                                         o_frame, num_segments=num_frames)
             out_c = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jc, y),
                                         o_cam, num_segments=num_cams)
-            return out_f, out_c
+            if optimize_rig:
+                out_s = jax.ops.segment_sum(
+                    jnp.einsum("ori,or->oi", Js, y), o_sensor,
+                    num_segments=num_sensors)
+            else:
+                out_s = None
+            return out_f, out_c, out_s
 
-        def Hpc_apply(vf, vc):
+        def Hpc_apply(vf, vc, vs):
             """camera-side direction -> point-side (num_points, 3)"""
-            y = w[:, None] * J_apply(vf, vc)
+            y = w[:, None] * J_apply(vf, vc, vs)
             return jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jp, y),
                                        o_point, num_segments=num_points)
 
@@ -214,47 +253,66 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
 
         # Schur rhs: b = -g_cam - H_cp Bp_inv (-g_p)
         z_p = jnp.einsum("tij,tj->ti", Bp_inv, -g_p)
-        hf, hc = Hcp_apply(z_p)
+        hf, hc, hs = Hcp_apply(z_p)
         b_f = -g_f - hf
         b_c = -g_c - hc
+        b_s = (-g_s - hs) if optimize_rig else \
+            jnp.zeros((num_sensors, 6), dtype)
 
         nf6 = num_frames * 6
+        nc16 = num_cams * 16
 
-        def pack(vf, vc):
-            return jnp.concatenate([vf.reshape(-1), vc.reshape(-1)])
+        def pack(vf, vc, vs):
+            parts = [vf.reshape(-1), vc.reshape(-1)]
+            if optimize_rig:
+                parts.append(vs.reshape(-1))
+            return jnp.concatenate(parts)
 
         def unpack(v):
-            return (v[:nf6].reshape(num_frames, 6),
-                    v[nf6:].reshape(num_cams, 16))
+            vf = v[:nf6].reshape(num_frames, 6)
+            vc = v[nf6:nf6 + nc16].reshape(num_cams, 16)
+            vs = v[nf6 + nc16:].reshape(num_sensors, 6) if optimize_rig \
+                else jnp.zeros((num_sensors, 6), dtype)
+            return vf, vc, vs
 
         def schur_mv(v):
-            vf, vc = unpack(v)
-            # H_cc v (includes frame-intrinsic cross terms via J_apply)
-            y = w[:, None] * J_apply(vf, vc)
-            out_f, out_c = JT_scatter(y)
+            vf, vc, vs = unpack(v)
+            # H_cc v (includes frame-intrinsic-sensor cross terms)
+            y = w[:, None] * J_apply(vf, vc, vs)
+            out_f, out_c, out_s = JT_scatter(y)
             # damping contribution (damp only block diagonals)
             out_f = out_f + jnp.einsum("fij,fj->fi", B_f_d - B_f, vf)
             out_c = out_c + jnp.einsum("cij,cj->ci", B_c_d - B_c, vc)
+            if optimize_rig:
+                out_s = out_s + jnp.einsum("sij,sj->si", B_s_d - B_s, vs)
             # minus H_cp Bp_inv H_pc v
-            zp = jnp.einsum("tij,tj->ti", Bp_inv, Hpc_apply(vf, vc))
-            cf, cc = Hcp_apply(zp)
-            return pack(out_f - cf, out_c - cc)
+            zp = jnp.einsum("tij,tj->ti", Bp_inv, Hpc_apply(vf, vc, vs))
+            cf, cc, cs = Hcp_apply(zp)
+            if optimize_rig:
+                return pack(out_f - cf, out_c - cc, out_s - cs)
+            return pack(out_f - cf, out_c - cc, None)
 
         Bf_inv = jnp.linalg.inv(B_f_d)
         Bc_inv = jnp.linalg.inv(B_c_d)
+        Bs_inv = jnp.linalg.inv(B_s_d) if optimize_rig else None
 
         def precond(v):
-            vf, vc = unpack(v)
-            return pack(jnp.einsum("fij,fj->fi", Bf_inv, vf),
-                        jnp.einsum("cij,cj->ci", Bc_inv, vc))
+            vf, vc, vs = unpack(v)
+            pf = jnp.einsum("fij,fj->fi", Bf_inv, vf)
+            pc = jnp.einsum("cij,cj->ci", Bc_inv, vc)
+            ps = jnp.einsum("sij,sj->si", Bs_inv, vs) if optimize_rig \
+                else None
+            return pack(pf, pc, ps)
 
-        sol = cg_generic(schur_mv, pack(b_f, b_c), max_iters=cg_iters,
+        sol = cg_generic(schur_mv, pack(b_f, b_c, b_s), max_iters=cg_iters,
                          tol=1e-6, precond=precond)
-        dvf, dvc = unpack(sol)
+        dvf, dvc, dvs = unpack(sol)
         dvf = dvf * frame_mask
+        if optimize_rig:
+            dvs = dvs * sensor_mask
         # back-substitute points
         dX = jnp.einsum("tij,tj->ti", Bp_inv,
-                        -g_p - Hpc_apply(dvf, dvc)) if optimize_points \
+                        -g_p - Hpc_apply(dvf, dvc, dvs)) if optimize_points \
             else jnp.zeros_like(X)
 
         fq_new = rotm.quat_normalize(
@@ -262,30 +320,45 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         ft_new = ft + dvf[:, 3:6]
         cp_new = cp + jnp.einsum("cij,cj->ci", cam_T, dvc)
         X_new = X + dX
+        if optimize_rig:
+            sq_new = rotm.quat_normalize(
+                rotm.quat_mul(sq, rotm.so3_exp_quat(dvs[:, 0:3])))
+            st_new = st + dvs[:, 3:6]
+        else:
+            sq_new, st_new = sq, st
 
-        new_cost = compute_cost(fq_new, ft_new, cp_new, X_new)
+        new_cost = compute_cost(fq_new, ft_new, cp_new, X_new, sq_new,
+                                st_new)
         accept = new_cost < cost
         fq = jnp.where(accept, fq_new, fq)
         ft = jnp.where(accept, ft_new, ft)
         cp = jnp.where(accept, cp_new, cp)
         X = jnp.where(accept, X_new, X)
+        sq = jnp.where(accept, sq_new, sq)
+        st = jnp.where(accept, st_new, st)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-12),
                         jnp.minimum(lam * 4.0, 1e8))
         rel = (cost - new_cost) / jnp.maximum(cost, 1e-30)
         done = accept & (rel < function_tol)
         cost = jnp.where(accept, new_cost, cost)
-        return (fq, ft, cp, X, lam, cost, it + 1, done, accept)
+        return (fq, ft, cp, X, sq, st, lam, cost, it + 1, done, accept)
 
     def cond(state):
-        return (state[6] < max_iters) & ~state[7]
+        return (state[8] < max_iters) & ~state[9]
 
-    cost0 = compute_cost(frame_quat, frame_trans, cam_params, points)
+    if sensor_quat is None:
+        sensor_quat = jnp.zeros((max(num_sensors, 1), 4),
+                                dtype).at[:, 0].set(1.0)
+        sensor_trans = jnp.zeros((max(num_sensors, 1), 3), dtype)
+    cost0 = compute_cost(frame_quat, frame_trans, cam_params, points,
+                         sensor_quat, sensor_trans)
     state = (frame_quat, frame_trans, cam_params, points,
+             sensor_quat, sensor_trans,
              jnp.asarray(1e-4, dtype), cost0, 0, jnp.asarray(False),
              jnp.asarray(True))
-    fq, ft, cp, X, _, cost, it, _, _ = jax.lax.while_loop(cond, lm_step,
-                                                          state)
-    return fq, ft, cp, X, cost, it
+    fq, ft, cp, X, sq, st, _, cost, it, _, _ = jax.lax.while_loop(
+        cond, lm_step, state)
+    return fq, ft, cp, X, cost, it, sq, st
 
 
 def ba_fast_path_ok(scene: Scene) -> bool:
@@ -340,9 +413,16 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
                              opts.optimize_principal_point)
         for m in scene.cam_model_id])
 
-    fast_path = ba_fast_path_ok(scene)
+    fast_path = ba_fast_path_ok(scene) and not opts.optimize_rig_poses
 
-    fq, ft, cp, X, cost, it = _solve_ba(
+    # sensor-pose optimization (reference optimize_rig_poses): only
+    # non-reference sensors move
+    num_sensors = len(scene.sensor_quat)
+    sensor_mask = np.zeros((num_sensors, 6))
+    if opts.optimize_rig_poses:
+        sensor_mask[~scene.sensor_is_ref, :] = 1.0
+
+    fq, ft, cp, X, cost, it, sq, st = _solve_ba(
         jnp.asarray(scene.frame_quat, dtype=dtype),
         jnp.asarray(scene.frame_trans, dtype=dtype),
         jnp.asarray(scene.cam_params, dtype=dtype),
@@ -358,7 +438,13 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         scene.num_frames, scene.num_cameras, tracks.num_tracks,
         float(opts.thres_loss_function), float(opts.function_tolerance),
         int(opts.max_num_iterations), 60, bool(opts.optimize_points),
-        fast_path=fast_path)
+        fast_path=fast_path,
+        o_sensor=jnp.asarray(o_sensor.astype(np.int32)),
+        sensor_quat=jnp.asarray(scene.sensor_quat, dtype=dtype),
+        sensor_trans=jnp.asarray(scene.sensor_trans, dtype=dtype),
+        sensor_mask=jnp.asarray(sensor_mask, dtype=dtype),
+        num_sensors=num_sensors,
+        optimize_rig=bool(opts.optimize_rig_poses))
 
     fq = np.asarray(fq, dtype=np.float64)
     ft = np.asarray(ft, dtype=np.float64)
@@ -370,6 +456,9 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
     scene.frame_quat[:] = fq
     scene.frame_trans[:] = ft
     scene.cam_params[:] = cp
+    if opts.optimize_rig_poses:
+        scene.sensor_quat[:] = np.asarray(sq, dtype=np.float64)
+        scene.sensor_trans[:] = np.asarray(st, dtype=np.float64)
     if opts.optimize_points:
         tracks.xyz[:] = X
     return True

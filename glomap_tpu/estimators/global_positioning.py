@@ -224,9 +224,15 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
                                  jnp.asarray(scene.kp_ray[kp], dtype=dtype))
         # rig offset u = R_cam^T t_sensor_from_rig (zero for trivial frames;
         # reference RigBATAPairwiseDirectionError translation_rig term)
-        st = scene.sensor_trans[scene.image_sensor[o_img]]
+        o_sensor = scene.image_sensor[o_img]
+        st = scene.sensor_trans[o_sensor].copy()
+        unknown_obs = ~scene.sensor_known[o_sensor]
+        st[unknown_obs] = 0.0  # unknown offsets start at zero
         u_rig = rotm.quat_rotate(rotm.quat_conj(q_o),
                                  jnp.asarray(st, dtype=dtype))
+        # frame rotation per obs (for the unknown cam_from_rig center
+        # updates; reference RigUnknownBATAPairwiseDirectionError)
+        q_frame_o = scene.frame_quat[o_frame]
         calib = scene.cam_has_prior_focal[scene.image_camera[o_img]]
         obs_w = np.where(calib, 1.0, 0.5)
     else:
@@ -325,6 +331,59 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
                                    jnp.asarray(X0, dtype=dtype),
                                    of, op, t_obs, u_rig, ow, ci, cj, t_cc,
                                    cw, *args_static)
+
+    # ---- unknown cam_from_rig: alternate GP <-> sensor-center updates
+    # (counterpart of RigUnknownBATAPairwiseDirectionError where the
+    # cam_from_rig center is a joint unknown; here it is updated in closed
+    # form given (c, X, s*) — a small weighted LS per sensor — and the GP
+    # re-solved, which converges in a few rounds)
+    has_unknown = use_points and len(o_frame) and \
+        bool((~scene.sensor_known).any()) and bool(unknown_obs.any())
+    if has_unknown:
+        num_sensors = len(scene.sensor_quat)
+        q_f_o = jnp.asarray(q_frame_o, dtype=dtype)
+        unk_o = jnp.asarray(unknown_obs)
+        o_sens = jnp.asarray(o_sensor.astype(np.int32))
+        Rf = rotm.quat_to_rotmat(q_f_o)
+        eye3 = jnp.eye(3, dtype=dtype)
+        cs = jnp.zeros((num_sensors, 3), dtype=dtype)
+        for _ in range(3):
+            # Gauss-Newton on the sensor centers with the Golub-Pereyra
+            # projected Jacobian (d r / d cs = s P R_f^T): converges
+            # quadratically, unlike naive alternation.
+            for _gn in range(3):
+                d = X[op] - c[of] + u_rig
+                dn2 = jnp.maximum(jnp.sum(d * d, -1), 1e-12)
+                s = jnp.maximum(jnp.sum(t_obs * d, -1) / dn2, 1e-5)
+                r = t_obs - s[:, None] * d
+                w = ow * _huber_weight(jnp.sum(r * r, -1),
+                                       float(opts.thres_loss_function))
+                w = jnp.where(unk_o, w, 0.0)
+                dhat = d / jnp.sqrt(dn2)[:, None]
+                P = eye3 - dhat[:, :, None] * dhat[:, None, :]
+                RPRt = jnp.einsum("oij,ojk,olk->oil", Rf, P, Rf)
+                Hs = jax.ops.segment_sum(
+                    (w * s * s)[:, None, None] * RPRt, o_sens,
+                    num_segments=num_sensors)
+                gs = jax.ops.segment_sum(
+                    (w * s)[:, None] * jnp.einsum("oij,oj->oi", Rf, r),
+                    o_sens, num_segments=num_sensors)
+                tr = jnp.trace(Hs, axis1=-2, axis2=-1)
+                Hs = Hs + (1e-9 * jnp.maximum(tr, 1e-12))[:, None, None] * \
+                    eye3
+                cs = cs - jnp.linalg.solve(Hs, gs[..., None])[..., 0]
+                u_new = -jnp.einsum("oji,oj->oi", Rf, cs[o_sens])
+                u_rig = jnp.where(unk_o[:, None], u_new, u_rig)
+            c, X, cost, it = _solve_gp(c, X, of, op, t_obs, u_rig, ow,
+                                       ci, cj, t_cc, cw, *args_static)
+        # write back: sensor_from_rig translation t_s = -R_s c_s
+        cs_np = np.asarray(cs, dtype=np.float64)
+        unk_sensors = np.nonzero(~scene.sensor_known)[0]
+        t_s = -np.asarray(rotm.quat_rotate(
+            jnp.asarray(scene.sensor_quat[unk_sensors]),
+            jnp.asarray(cs_np[unk_sensors])))
+        scene.sensor_trans[unk_sensors] = t_s
+        scene.sensor_known[unk_sensors] = True
 
     c = np.asarray(c, dtype=np.float64)
     X = np.asarray(X, dtype=np.float64)

@@ -116,3 +116,30 @@ def test_ba_rig_scene():
     c_err, r_err = _pose_errors(scene, gt)
     assert r_err.max() < 1e-2
     assert c_err.max() < 1e-3
+
+
+def test_ba_optimize_rig_poses():
+    """optimize_rig_poses refines perturbed sensor_from_rig extrinsics."""
+    scene, vg, tracks, gt = _prepare(
+        SyntheticOptions(num_frames_per_rig=10, num_cameras_per_rig=2,
+                         num_points3D=250, seed=25),
+        pose_noise=0.0, point_noise=0.01)
+    gt_sq = scene.sensor_quat.copy()
+    gt_st = scene.sensor_trans.copy()
+    # perturb the non-reference sensor extrinsics
+    rng = np.random.default_rng(0)
+    unk = ~scene.sensor_is_ref
+    w = 0.01 * rng.standard_normal((unk.sum(), 3))
+    scene.sensor_quat[unk] = np.asarray(rotm.quat_mul(
+        jnp.asarray(scene.sensor_quat[unk]), rotm.so3_exp_quat(jnp.asarray(w))))
+    scene.sensor_trans[unk] += 0.02 * rng.standard_normal((unk.sum(), 3))
+
+    opts = BundleAdjusterOptions(optimize_rig_poses=True)
+    assert solve_bundle_adjustment(scene, tracks, opts)
+    ang = np.degrees(np.asarray(rotm.relative_quat_angle_rad(
+        jnp.asarray(scene.sensor_quat[unk]), jnp.asarray(gt_sq[unk]))))
+    t_err = np.linalg.norm(scene.sensor_trans[unk] - gt_st[unk], axis=-1)
+    assert ang.max() < 0.02
+    assert t_err.max() < 5e-3
+    # reference sensors untouched
+    np.testing.assert_allclose(scene.sensor_quat[~unk], gt_sq[~unk])

@@ -94,3 +94,31 @@ def test_rig_offsets_respected():
     assert solve_global_positioning(scene, vg, tracks)
     errs = _center_errors(scene, gt)
     assert errs.max() < 1e-3
+
+
+def test_unknown_rig_translations_estimated():
+    """Unknown cam_from_rig translations recovered by the GP alternation
+    (reference RigUnknownBATAPairwiseDirectionError counterpart)."""
+    scene, vg, tracks, gt = _prepare(
+        SyntheticOptions(num_frames_per_rig=10, num_cameras_per_rig=2,
+                         num_points3D=250, seed=18))
+    gt_st = scene.sensor_trans.copy()
+    unk = ~scene.sensor_is_ref
+    scene.sensor_known[unk] = False
+    scene.sensor_trans[unk] = 0.0  # pretend unknown
+
+    assert solve_global_positioning(scene, vg, tracks)
+    errs = _center_errors(scene, gt)
+    assert errs.max() < 1e-2
+    # sensor translations recovered (up to the global scale of the
+    # reconstruction, which is metric-free for unknown rigs; compare
+    # directions and relative magnitude)
+    est = scene.sensor_trans[unk]
+    ratio = np.linalg.norm(est, axis=-1) / np.maximum(
+        np.linalg.norm(gt_st[unk], axis=-1), 1e-12)
+    # consistent scale across sensors
+    assert ratio.std() / max(ratio.mean(), 1e-12) < 0.05
+    cosang = np.sum(est * gt_st[unk], axis=-1) / np.maximum(
+        np.linalg.norm(est, axis=-1) * np.linalg.norm(gt_st[unk], axis=-1),
+        1e-12)
+    assert cosang.min() > 0.999

@@ -38,7 +38,7 @@ def test_pinhole_resid_jac_matches_autodiff():
 
     r_ref, J_ref = _resid_and_jac_v(
         jnp.asarray(q), jnp.asarray(ft), jnp.asarray(qs), jnp.asarray(st),
-        jnp.asarray(cpar), kind, jnp.asarray(X), jnp.asarray(uv), T)
+        jnp.asarray(cpar), kind, jnp.asarray(X), jnp.asarray(uv), T, 25)
 
     r_k, J_k = pk.ba_resid_jac_pinhole(
         jnp.asarray(q), jnp.asarray(ft), jnp.asarray(qs), jnp.asarray(st),

@@ -41,3 +41,42 @@ def test_sharded_ba_matches_single_device():
     c_err8, r_err8 = _pose_errors(scene8, gt)
     assert r_err1.max() < 1e-2 and r_err8.max() < 1e-2
     assert c_err1.max() < 1e-3 and c_err8.max() < 1e-3
+
+
+def test_spectral_partitioner_balances_and_cuts():
+    from glomap_tpu.parallel.partitioner import (assign_observations,
+                                                 partition_frames)
+    from glomap_tpu.controllers.track_establishment import (
+        establish_full_tracks)
+
+    from glomap_tpu.parallel.partitioner import partition_graph
+
+    # core graph test: ring of 4 cliques (city-block structure) — the
+    # optimal 4-cut severs only the light chain edges
+    rng = np.random.default_rng(0)
+    F = 32
+    e1, e2, w = [], [], []
+    for c in range(4):
+        nodes = np.arange(8) + 8 * c
+        for a in range(8):
+            for b in range(a + 1, 8):
+                e1.append(nodes[a]); e2.append(nodes[b]); w.append(100.0)
+    for c in range(4):  # light chain between consecutive cliques
+        e1.append(8 * c + 7); e2.append((8 * c + 8) % F); w.append(1.0)
+    p = partition_graph(F, np.asarray(e1), np.asarray(e2), np.asarray(w), 4)
+    assert p.sizes.sum() == F
+    assert p.sizes.max() - p.sizes.min() <= 1
+    assert p.cut_fraction < 0.01  # only chain edges cut
+
+    # end-to-end scene path still runs and balances
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=24, num_points3D=300, seed=101))
+    tracks = establish_full_tracks(scene, vg)
+    p = partition_frames(scene, tracks, 4)
+    assert p.num_parts == 4
+    assert p.sizes.sum() == scene.num_frames
+    assert p.sizes.max() - p.sizes.min() <= 1
+
+    obs_part = assign_observations(scene, tracks, p)
+    assert len(obs_part) == tracks.num_obs
+    assert obs_part.max() < 4
