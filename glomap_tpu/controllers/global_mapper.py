@@ -18,9 +18,10 @@ import numpy as np
 
 from glomap_tpu.config import GlobalMapperOptions
 from glomap_tpu.controllers import track_establishment as te
+from glomap_tpu.controllers.rotation_averager import (
+    RotationAveragerOptions, solve_rotation_averaging)
 from glomap_tpu.estimators.bundle_adjustment import solve_bundle_adjustment
 from glomap_tpu.estimators.global_positioning import solve_global_positioning
-from glomap_tpu.estimators.rotation_averaging import estimate_rotations
 from glomap_tpu.processors import relpose_filter as rpf
 from glomap_tpu.processors import track_filter as tf
 from glomap_tpu.processors.normalization import normalize_reconstruction
@@ -82,13 +83,16 @@ class GlobalMapper:
         # 3. Rotation averaging (filter pass + final pass)
         if not opt.skip_rotation_averaging:
             stage("rotation averaging")
-            estimate_rotations(scene, view_graph, opt.opt_ra)
+            ra_opts = RotationAveragerOptions(**{
+                f: getattr(opt.opt_ra, f)
+                for f in opt.opt_ra.__dataclass_fields__})
+            solve_rotation_averaging(scene, view_graph, ra_opts)
             rpf.filter_rotations(scene, view_graph,
                                  opt.inlier_thresholds.max_rotation_error)
             if view_graph.keep_largest_connected_component(scene) == 0:
                 logger.error("no connected components are found")
                 return None
-            if not estimate_rotations(scene, view_graph, opt.opt_ra):
+            if not solve_rotation_averaging(scene, view_graph, ra_opts):
                 return None
             rpf.filter_rotations(scene, view_graph,
                                  opt.inlier_thresholds.max_rotation_error)

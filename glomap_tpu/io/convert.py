@@ -52,27 +52,28 @@ def database_to_scene(db: DatabaseData):
         [cam_idx[int(c)] for c in db.image_camera_ids], dtype=np.int32)
     img_idx = {int(i): k for k, i in enumerate(db.image_ids)}
 
-    # rigs/frames: trivial one-rig-one-camera-per-image unless the database
-    # provides rig tables (colmap_converter.cc:311-343 fallback)
-    # TODO(rig-db): ingest non-trivial rig/frame tables once a real rig
-    # database is available; trivial fallback matches reference behavior.
-    scene.rig_ids = np.arange(1, n_img + 1, dtype=np.int64)
-    scene.sensor_rig = np.arange(n_img, dtype=np.int32)
-    scene.sensor_camera = scene.image_camera.copy()
-    scene.sensor_quat = np.tile([1.0, 0, 0, 0], (n_img, 1))
-    scene.sensor_trans = np.zeros((n_img, 3))
-    scene.sensor_is_ref = np.ones(n_img, dtype=bool)
-    scene.sensor_known = np.ones(n_img, dtype=bool)
-    scene.frame_ids = np.arange(1, n_img + 1, dtype=np.int64)
-    scene.frame_rig = np.arange(n_img, dtype=np.int32)
-    scene.frame_quat = np.tile([1.0, 0, 0, 0], (n_img, 1))
-    scene.frame_trans = np.zeros((n_img, 3))
-    scene.frame_registered = np.ones(n_img, dtype=bool)
-    scene.frame_cluster = np.zeros(n_img, dtype=np.int32)
-    scene.frame_has_gravity = np.zeros(n_img, dtype=bool)
-    scene.frame_gravity = np.zeros((n_img, 3))
-    scene.image_frame = np.arange(n_img, dtype=np.int32)
-    scene.image_sensor = np.arange(n_img, dtype=np.int32)
+    # rigs/frames: use the database's rig tables when present; otherwise
+    # trivial one-rig-one-camera-per-image (colmap_converter.cc:311-343)
+    if db.rigs and db.frames:
+        _ingest_rigs_and_frames(scene, db, cam_idx, img_idx, n_img)
+    else:
+        scene.rig_ids = np.arange(1, n_img + 1, dtype=np.int64)
+        scene.sensor_rig = np.arange(n_img, dtype=np.int32)
+        scene.sensor_camera = scene.image_camera.copy()
+        scene.sensor_quat = np.tile([1.0, 0, 0, 0], (n_img, 1))
+        scene.sensor_trans = np.zeros((n_img, 3))
+        scene.sensor_is_ref = np.ones(n_img, dtype=bool)
+        scene.sensor_known = np.ones(n_img, dtype=bool)
+        scene.frame_ids = np.arange(1, n_img + 1, dtype=np.int64)
+        scene.frame_rig = np.arange(n_img, dtype=np.int32)
+        scene.frame_quat = np.tile([1.0, 0, 0, 0], (n_img, 1))
+        scene.frame_trans = np.zeros((n_img, 3))
+        scene.frame_registered = np.ones(n_img, dtype=bool)
+        scene.frame_cluster = np.zeros(n_img, dtype=np.int32)
+        scene.frame_has_gravity = np.zeros(n_img, dtype=bool)
+        scene.frame_gravity = np.zeros((n_img, 3))
+        scene.image_frame = np.arange(n_img, dtype=np.int32)
+        scene.image_sensor = np.arange(n_img, dtype=np.int32)
 
     # keypoints
     scene.kp_xy = db.kp_xy.copy()
@@ -125,6 +126,73 @@ def database_to_scene(db: DatabaseData):
     logger.info("Loaded %d cameras, %d images, %d pairs, %d matches",
                 n_cam, n_img, n_pair, len(m_pair))
     return scene, vg
+
+
+def _ingest_rigs_and_frames(scene, db, cam_idx, img_idx, n_img):
+    """Non-trivial rig/frame ingestion from the database's rig tables.
+
+    Sensor pose blob layout: 7 f64 (qw qx qy qz tx ty tz); NULL pose
+    marks the rig's reference sensor. An unknown (non-NULL-row-less)
+    sensor gets sensor_known=False and is calibrated by the pipeline.
+    """
+    rig_ids, sensor_rig, sensor_cam = [], [], []
+    sensor_q, sensor_t, sensor_ref, sensor_known = [], [], [], []
+    sensor_lookup = {}  # camera dense idx -> sensor idx
+    for r, (rig_id, sensors) in enumerate(db.rigs):
+        rig_ids.append(rig_id)
+        # reference sensor(s) first
+        sensors_sorted = sorted(sensors, key=lambda s: (s[2] is not None,))
+        for stype, sid, qt in sensors_sorted:
+            if sid not in db.camera_ids:
+                continue
+            c = cam_idx[int(sid)]
+            sensor_lookup[c] = len(sensor_rig)
+            sensor_rig.append(r)
+            sensor_cam.append(c)
+            if qt is None:
+                sensor_q.append([1.0, 0, 0, 0])
+                sensor_t.append([0.0, 0, 0])
+                sensor_ref.append(True)
+                sensor_known.append(True)
+            elif len(qt) >= 7:
+                sensor_q.append(list(qt[0:4]))
+                sensor_t.append(list(qt[4:7]))
+                sensor_ref.append(False)
+                sensor_known.append(True)
+            else:
+                sensor_q.append([1.0, 0, 0, 0])
+                sensor_t.append([0.0, 0, 0])
+                sensor_ref.append(False)
+                sensor_known.append(False)
+    scene.rig_ids = np.asarray(rig_ids, dtype=np.int64)
+    scene.sensor_rig = np.asarray(sensor_rig, dtype=np.int32)
+    scene.sensor_camera = np.asarray(sensor_cam, dtype=np.int32)
+    scene.sensor_quat = np.asarray(sensor_q).reshape(-1, 4)
+    scene.sensor_trans = np.asarray(sensor_t).reshape(-1, 3)
+    scene.sensor_is_ref = np.asarray(sensor_ref, dtype=bool)
+    scene.sensor_known = np.asarray(sensor_known, dtype=bool)
+    rig_idx = {int(rid): k for k, rid in enumerate(rig_ids)}
+
+    n_frame = len(db.frames)
+    scene.frame_ids = np.asarray([f[0] for f in db.frames], dtype=np.int64)
+    scene.frame_rig = np.asarray([rig_idx[int(f[1])] for f in db.frames],
+                                 dtype=np.int32)
+    scene.frame_quat = np.tile([1.0, 0, 0, 0], (n_frame, 1))
+    scene.frame_trans = np.zeros((n_frame, 3))
+    scene.frame_registered = np.ones(n_frame, dtype=bool)
+    scene.frame_cluster = np.zeros(n_frame, dtype=np.int32)
+    scene.frame_has_gravity = np.zeros(n_frame, dtype=bool)
+    scene.frame_gravity = np.zeros((n_frame, 3))
+
+    scene.image_frame = np.zeros(n_img, dtype=np.int32)
+    scene.image_sensor = np.zeros(n_img, dtype=np.int32)
+    for fidx, (fid, rid, data) in enumerate(db.frames):
+        for stype, data_id in data:
+            k = img_idx.get(int(data_id))
+            if k is None:
+                continue
+            scene.image_frame[k] = fidx
+            scene.image_sensor[k] = sensor_lookup[scene.image_camera[k]]
 
 
 def scene_to_model(scene: Scene, tracks: Tracks, cluster: int = -1):

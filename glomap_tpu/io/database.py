@@ -206,7 +206,21 @@ CREATE TABLE IF NOT EXISTS two_view_geometries (
     rows INTEGER NOT NULL, cols INTEGER NOT NULL, data BLOB,
     config INTEGER NOT NULL,
     F BLOB, E BLOB, H BLOB, qvec BLOB, tvec BLOB);
+CREATE TABLE IF NOT EXISTS rigs (
+    rig_id INTEGER PRIMARY KEY AUTOINCREMENT NOT NULL);
+CREATE TABLE IF NOT EXISTS rig_sensors (
+    rig_id INTEGER NOT NULL, sensor_type INTEGER NOT NULL,
+    sensor_id INTEGER NOT NULL, sensor_from_rig BLOB,
+    PRIMARY KEY (sensor_type, sensor_id));
+CREATE TABLE IF NOT EXISTS frames (
+    frame_id INTEGER PRIMARY KEY AUTOINCREMENT NOT NULL,
+    rig_id INTEGER NOT NULL);
+CREATE TABLE IF NOT EXISTS frame_data (
+    frame_id INTEGER NOT NULL, sensor_type INTEGER NOT NULL,
+    data_id INTEGER NOT NULL, PRIMARY KEY (sensor_type, data_id));
 """
+
+SENSOR_TYPE_CAMERA = 0
 
 
 def write_database(path: str, scene, vg) -> None:
@@ -263,6 +277,37 @@ def write_database(path: str, scene, vg) -> None:
                  vg.pair_H[p].astype(np.float64).tobytes(),
                  np.asarray(q, dtype=np.float64).tobytes(),
                  np.asarray(t, dtype=np.float64).tobytes()))
+        # rig / frame tables (only for non-trivial rig scenes: rigs with
+        # more than one sensor)
+        n_per_rig = np.bincount(scene.sensor_rig,
+                                minlength=len(scene.rig_ids))
+        if (n_per_rig > 1).any():
+            for r, rid in enumerate(scene.rig_ids):
+                db.execute("INSERT OR REPLACE INTO rigs VALUES (?)",
+                           (int(rid),))
+            for s_idx in range(len(scene.sensor_rig)):
+                if scene.sensor_is_ref[s_idx]:
+                    pose = None
+                else:
+                    pose = np.concatenate(
+                        [scene.sensor_quat[s_idx],
+                         scene.sensor_trans[s_idx]]).astype(
+                             np.float64).tobytes()
+                db.execute(
+                    "INSERT OR REPLACE INTO rig_sensors VALUES (?, ?, ?, ?)",
+                    (int(scene.rig_ids[scene.sensor_rig[s_idx]]),
+                     SENSOR_TYPE_CAMERA,
+                     int(scene.camera_ids[scene.sensor_camera[s_idx]]),
+                     pose))
+            for f in range(scene.num_frames):
+                db.execute("INSERT OR REPLACE INTO frames VALUES (?, ?)",
+                           (int(scene.frame_ids[f]),
+                            int(scene.rig_ids[scene.frame_rig[f]])))
+            for k in range(scene.num_images):
+                db.execute(
+                    "INSERT OR REPLACE INTO frame_data VALUES (?, ?, ?)",
+                    (int(scene.frame_ids[scene.image_frame[k]]),
+                     SENSOR_TYPE_CAMERA, int(scene.image_ids[k])))
         db.commit()
     finally:
         db.close()

@@ -102,3 +102,29 @@ def test_end_to_end_from_database(tmp_path):
     err = np.linalg.norm(apply_sim3(s, R, t, est_c) - gt_c, axis=-1)
     assert err.max() < 1e-3
     assert tracks_r.num_tracks > 50
+
+
+def test_database_rig_roundtrip(tmp_path):
+    """Non-trivial rig scenes survive the database round trip."""
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=6, num_cameras_per_rig=2,
+                         num_points3D=100, seed=42))
+    db_path = str(tmp_path / "rig.db")
+    write_database(db_path, scene, vg)
+    scene2, vg2 = database_to_scene(read_database(db_path))
+
+    assert scene2.num_frames == scene.num_frames
+    assert len(scene2.sensor_quat) == len(scene.sensor_quat)
+    # frame/image structure preserved
+    np.testing.assert_array_equal(
+        scene2.frame_ids[scene2.image_frame], scene.frame_ids[scene.image_frame])
+    # sensor extrinsics preserved (match sensors via their cameras)
+    for s2 in range(len(scene2.sensor_quat)):
+        cam_id = scene2.camera_ids[scene2.sensor_camera[s2]]
+        s1 = np.nonzero(scene.camera_ids[scene.sensor_camera] == cam_id)[0][0]
+        assert scene2.sensor_is_ref[s2] == scene.sensor_is_ref[s1]
+        if not scene2.sensor_is_ref[s2]:
+            np.testing.assert_allclose(scene2.sensor_quat[s2],
+                                       scene.sensor_quat[s1], atol=1e-12)
+            np.testing.assert_allclose(scene2.sensor_trans[s2],
+                                       scene.sensor_trans[s1], atol=1e-12)
