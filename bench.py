@@ -106,7 +106,7 @@ def main():
                         num_cams=sizes["num_cams"],
                         num_points=sizes["num_points"],
                         huber_delta=1.0, function_tol=0.0,
-                        max_iters=n_iters, cg_iters=60,
+                        max_iters=n_iters, cg_iters=30,
                         optimize_points=True, fast_path=fast)
         jax.block_until_ready(out)
         return out

@@ -134,6 +134,31 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
     eye6 = jnp.eye(6, dtype=dtype)
     eye16 = jnp.eye(16, dtype=dtype)
     zdim = 31 if optimize_rig else 25
+    num_obs = o_frame.shape[0]
+
+    # TPU scatter-adds are the slowest ops in the solve; when a segment
+    # axis is small enough, reduce with a one-hot matmul on the MXU
+    # instead (an order of magnitude faster for the 6x6/16x16 block
+    # builds and the CG-loop scatters).
+    _ONE_HOT_BUDGET = 64_000_000  # elements
+
+    def make_reducer(idx, n_seg):
+        if n_seg * num_obs <= _ONE_HOT_BUDGET:
+            onehot = jax.nn.one_hot(idx, n_seg, dtype=dtype)  # (O, n)
+
+            def reduce(vals):
+                flat = vals.reshape(num_obs, -1)
+                return jnp.einsum("on,ok->nk", onehot,
+                                  flat).reshape((n_seg,) + vals.shape[1:])
+            return reduce
+        return lambda vals: jax.ops.segment_sum(vals, idx,
+                                                num_segments=n_seg)
+
+    reduce_f = make_reducer(o_frame, num_frames)
+    reduce_c = make_reducer(o_cam, num_cams)
+    reduce_p = make_reducer(o_point, num_points)
+    reduce_s = make_reducer(o_sensor, num_sensors) if optimize_rig \
+        else None
 
     def gather_sensor(sq, st):
         if optimize_rig:
@@ -181,26 +206,16 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
             Jc = jnp.einsum("ori,oij->orj", Jc, o_T)
 
         wr = w[:, None] * r
-        g_f = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jf, wr),
-                                  o_frame, num_segments=num_frames)
-        g_c = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jc, wr),
-                                  o_cam, num_segments=num_cams)
-        g_p = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jp, wr),
-                                  o_point, num_segments=num_points)
+        g_f = reduce_f(jnp.einsum("ori,or->oi", Jf, wr))
+        g_c = reduce_c(jnp.einsum("ori,or->oi", Jc, wr))
+        g_p = reduce_p(jnp.einsum("ori,or->oi", Jp, wr))
         if optimize_rig:
-            g_s = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Js, wr),
-                                      o_sensor, num_segments=num_sensors)
+            g_s = reduce_s(jnp.einsum("ori,or->oi", Js, wr))
 
         # block diagonals
-        B_f = jax.ops.segment_sum(
-            jnp.einsum("ori,o,orj->oij", Jf, w, Jf), o_frame,
-            num_segments=num_frames)
-        B_c = jax.ops.segment_sum(
-            jnp.einsum("ori,o,orj->oij", Jc, w, Jc), o_cam,
-            num_segments=num_cams)
-        B_p = jax.ops.segment_sum(
-            jnp.einsum("ori,o,orj->oij", Jp, w, Jp), o_point,
-            num_segments=num_points)
+        B_f = reduce_f(jnp.einsum("ori,o,orj->oij", Jf, w, Jf))
+        B_c = reduce_c(jnp.einsum("ori,o,orj->oij", Jc, w, Jc))
+        B_p = reduce_p(jnp.einsum("ori,o,orj->oij", Jp, w, Jp))
 
         def damp(B, eye, floor):
             diag = jnp.diagonal(B, axis1=-2, axis2=-1)
@@ -209,9 +224,7 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
             return B + D
 
         if optimize_rig:
-            B_s = jax.ops.segment_sum(
-                jnp.einsum("ori,o,orj->oij", Js, w, Js), o_sensor,
-                num_segments=num_sensors)
+            B_s = reduce_s(jnp.einsum("ori,o,orj->oij", Js, w, Js))
             B_s_d = damp(B_s, eye6, 1e-8)
         B_f_d = damp(B_f, eye6, 1e-8)
         B_c_d = damp(B_c, eye16, 1e-6)
@@ -229,14 +242,10 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
 
         def JT_scatter(y):
             """per-obs 2-vector (already weighted) -> camera-side grads"""
-            out_f = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jf, y),
-                                        o_frame, num_segments=num_frames)
-            out_c = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jc, y),
-                                        o_cam, num_segments=num_cams)
+            out_f = reduce_f(jnp.einsum("ori,or->oi", Jf, y))
+            out_c = reduce_c(jnp.einsum("ori,or->oi", Jc, y))
             if optimize_rig:
-                out_s = jax.ops.segment_sum(
-                    jnp.einsum("ori,or->oi", Js, y), o_sensor,
-                    num_segments=num_sensors)
+                out_s = reduce_s(jnp.einsum("ori,or->oi", Js, y))
             else:
                 out_s = None
             return out_f, out_c, out_s
@@ -244,8 +253,7 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         def Hpc_apply(vf, vc, vs):
             """camera-side direction -> point-side (num_points, 3)"""
             y = w[:, None] * J_apply(vf, vc, vs)
-            return jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jp, y),
-                                       o_point, num_segments=num_points)
+            return reduce_p(jnp.einsum("ori,or->oi", Jp, y))
 
         def Hcp_apply(vp):
             y = w[:, None] * jnp.einsum("ori,oi->or", Jp, vp[o_point])
@@ -292,9 +300,27 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
                 return pack(out_f - cf, out_c - cc, out_s - cs)
             return pack(out_f - cf, out_c - cc, None)
 
-        Bf_inv = jnp.linalg.inv(B_f_d)
-        Bc_inv = jnp.linalg.inv(B_c_d)
-        Bs_inv = jnp.linalg.inv(B_s_d) if optimize_rig else None
+        # SCHUR_JACOBI preconditioner (Ceres's): block diagonal of the
+        # Schur complement itself, S_ff = B_f - sum_o C_o Bp_inv C_o^T
+        # (exact when each (frame, point) pair has one observation, the
+        # typical case) — cuts PCG iterations several-fold vs plain
+        # block-Jacobi on H_cc.
+        Bp_inv_o = Bp_inv[o_point]
+        C_f = jnp.einsum("ori,o,orj->oij", Jf, w, Jp)
+        S_f = B_f_d - reduce_f(
+            jnp.einsum("oij,ojk,olk->oil", C_f, Bp_inv_o, C_f))
+        C_c = jnp.einsum("ori,o,orj->oij", Jc, w, Jp)
+        S_c = B_c_d - reduce_c(
+            jnp.einsum("oij,ojk,olk->oil", C_c, Bp_inv_o, C_c))
+        Bf_inv = jnp.linalg.inv(S_f)
+        Bc_inv = jnp.linalg.inv(S_c)
+        if optimize_rig:
+            C_s = jnp.einsum("ori,o,orj->oij", Js, w, Jp)
+            S_s = B_s_d - reduce_s(
+                jnp.einsum("oij,ojk,olk->oil", C_s, Bp_inv_o, C_s))
+            Bs_inv = jnp.linalg.inv(S_s)
+        else:
+            Bs_inv = None
 
         def precond(v):
             vf, vc, vs = unpack(v)
@@ -305,7 +331,7 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
             return pack(pf, pc, ps)
 
         sol = cg_generic(schur_mv, pack(b_f, b_c, b_s), max_iters=cg_iters,
-                         tol=1e-6, precond=precond)
+                         tol=1e-5, precond=precond)
         dvf, dvc, dvs = unpack(sol)
         dvf = dvf * frame_mask
         if optimize_rig:
@@ -437,7 +463,7 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         jnp.asarray(frame_mask, dtype=dtype),
         scene.num_frames, scene.num_cameras, tracks.num_tracks,
         float(opts.thres_loss_function), float(opts.function_tolerance),
-        int(opts.max_num_iterations), 60, bool(opts.optimize_points),
+        int(opts.max_num_iterations), 30, bool(opts.optimize_points),
         fast_path=fast_path,
         o_sensor=jnp.asarray(o_sensor.astype(np.int32)),
         sensor_quat=jnp.asarray(scene.sensor_quat, dtype=dtype),

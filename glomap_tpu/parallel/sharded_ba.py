@@ -77,7 +77,7 @@ def build_ba_inputs(scene: Scene, tracks: Tracks,
                    num_points=tracks.num_tracks,
                    huber_delta=float(opts.thres_loss_function),
                    function_tol=float(opts.function_tolerance),
-                   max_iters=int(opts.max_num_iterations), cg_iters=60,
+                   max_iters=int(opts.max_num_iterations), cg_iters=30,
                    optimize_points=bool(opts.optimize_points))
     return params, obs, statics
 
