@@ -128,3 +128,25 @@ def test_database_rig_roundtrip(tmp_path):
                                        scene.sensor_quat[s1], atol=1e-12)
             np.testing.assert_allclose(scene2.sensor_trans[s2],
                                        scene.sensor_trans[s1], atol=1e-12)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from glomap_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from glomap_tpu.controllers.track_establishment import (
+        establish_full_tracks)
+    import dataclasses
+
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=6, num_points3D=80, seed=43))
+    tracks = establish_full_tracks(scene, vg)
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, scene, vg, tracks, stage=np.int64(5))
+    s2, v2, t2, extra = load_checkpoint(p)
+    assert int(extra["stage"]) == 5
+    for obj, obj2 in ((scene, s2), (vg, v2), (tracks, t2)):
+        for f in dataclasses.fields(obj):
+            a, b = getattr(obj, f.name), getattr(obj2, f.name)
+            if isinstance(a, list):
+                assert a == b
+            else:
+                np.testing.assert_array_equal(a, b, err_msg=f.name)
