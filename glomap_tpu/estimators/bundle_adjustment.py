@@ -418,8 +418,27 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
     o_frame = scene.image_frame[o_img].astype(np.int32)
     o_cam = scene.image_camera[o_img].astype(np.int32)
     o_point = tracks.obs_track[ob_ok].astype(np.int32)
-    o_sensor = scene.image_sensor[o_img]
+    o_sensor = scene.image_sensor[o_img].astype(np.int32)
     kp = scene.kp_offset[o_img] + tracks.obs_feature[ob_ok]
+
+    # bucket-pad the obs axis (and the point count) so repeated BA calls
+    # across filter rounds reuse the compiled solver (padded rows carry
+    # zero weight -> exact no-ops)
+    from glomap_tpu.utils.padding import bucket_size, pad_axis0
+    n_obs = len(o_img)
+    n_obs_pad = bucket_size(n_obs)
+    o_w_np = pad_axis0(np.ones(n_obs), n_obs_pad)
+    o_frame = pad_axis0(o_frame, n_obs_pad)
+    o_cam = pad_axis0(o_cam, n_obs_pad)
+    o_point = pad_axis0(o_point, n_obs_pad)
+    o_sensor = pad_axis0(o_sensor, n_obs_pad)
+    o_sq = pad_axis0(scene.sensor_quat[scene.image_sensor[o_img]], n_obs_pad)
+    o_sq[n_obs:, 0] = 1.0
+    o_st = pad_axis0(scene.sensor_trans[scene.image_sensor[o_img]], n_obs_pad)
+    o_kind_np = pad_axis0(scene.cam_kind[o_cam[:n_obs]], n_obs_pad)
+    o_uv_np = pad_axis0(scene.kp_xy[kp], n_obs_pad)
+    num_points_pad = bucket_size(tracks.num_tracks, 64)
+    points_np = pad_axis0(tracks.xyz, num_points_pad)
 
     # pose mask: gauge-fix the first registered frame (reference counter==0
     # case); apply optimize_rotations / optimize_translation flags
@@ -452,20 +471,20 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         jnp.asarray(scene.frame_quat, dtype=dtype),
         jnp.asarray(scene.frame_trans, dtype=dtype),
         jnp.asarray(scene.cam_params, dtype=dtype),
-        jnp.asarray(tracks.xyz, dtype=dtype),
+        jnp.asarray(points_np, dtype=dtype),
         jnp.asarray(o_frame), jnp.asarray(o_cam), jnp.asarray(o_point),
-        jnp.asarray(scene.sensor_quat[o_sensor], dtype=dtype),
-        jnp.asarray(scene.sensor_trans[o_sensor], dtype=dtype),
-        jnp.asarray(scene.cam_kind[o_cam]),
-        jnp.asarray(scene.kp_xy[kp], dtype=dtype),
+        jnp.asarray(o_sq, dtype=dtype),
+        jnp.asarray(o_st, dtype=dtype),
+        jnp.asarray(o_kind_np),
+        jnp.asarray(o_uv_np, dtype=dtype),
         jnp.asarray(cam_T, dtype=dtype),
-        jnp.ones(len(o_img), dtype=dtype),
+        jnp.asarray(o_w_np, dtype=dtype),
         jnp.asarray(frame_mask, dtype=dtype),
-        scene.num_frames, scene.num_cameras, tracks.num_tracks,
+        scene.num_frames, scene.num_cameras, num_points_pad,
         float(opts.thres_loss_function), float(opts.function_tolerance),
         int(opts.max_num_iterations), 30, bool(opts.optimize_points),
         fast_path=fast_path,
-        o_sensor=jnp.asarray(o_sensor.astype(np.int32)),
+        o_sensor=jnp.asarray(o_sensor),
         sensor_quat=jnp.asarray(scene.sensor_quat, dtype=dtype),
         sensor_trans=jnp.asarray(scene.sensor_trans, dtype=dtype),
         sensor_mask=jnp.asarray(sensor_mask, dtype=dtype),
@@ -486,5 +505,5 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         scene.sensor_quat[:] = np.asarray(sq, dtype=np.float64)
         scene.sensor_trans[:] = np.asarray(st, dtype=np.float64)
     if opts.optimize_points:
-        tracks.xyz[:] = X
+        tracks.xyz[:] = X[:tracks.num_tracks]
     return True

@@ -280,14 +280,39 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
     else:
         X0 = tracks.xyz.copy() if tracks.num_tracks else np.zeros((1, 3))
 
-    args_static = (num_frames, num_points, float(opts.thres_loss_function),
+    # bucket-pad obs/edges/points so repeated GP calls reuse the compiled
+    # solver (padded rows carry zero weight)
+    from glomap_tpu.utils.padding import bucket_size, pad_axis0
+    n_obs = len(o_frame)
+    n_obs_pad = bucket_size(max(n_obs, 1))
+    o_frame = pad_axis0(np.asarray(o_frame, np.int32), n_obs_pad)
+    o_point_np = pad_axis0(np.asarray(o_point, np.int32), n_obs_pad)
+    t_obs = jnp.asarray(pad_axis0(np.asarray(t_obs), n_obs_pad), dtype=dtype)
+    u_rig = jnp.asarray(pad_axis0(np.asarray(u_rig), n_obs_pad), dtype=dtype)
+    obs_w = pad_axis0(np.asarray(obs_w), n_obs_pad)
+    if n_obs:
+        unknown_obs = pad_axis0(unknown_obs, n_obs_pad, fill=False)
+        o_sensor = pad_axis0(np.asarray(o_sensor, np.int32), n_obs_pad)
+        q_frame_o = pad_axis0(np.asarray(q_frame_o), n_obs_pad).copy()
+        q_frame_o[n_obs:, 0] = 1.0  # identity quats on padded rows
+    n_cc = len(cc_i)
+    n_cc_pad = bucket_size(max(n_cc, 1), 64) if n_cc else 0
+    cc_i = pad_axis0(np.asarray(cc_i, np.int32), n_cc_pad) if n_cc else         np.zeros(0, np.int32)
+    cc_j = pad_axis0(np.asarray(cc_j, np.int32), n_cc_pad) if n_cc else         np.zeros(0, np.int32)
+    t_cc = jnp.asarray(pad_axis0(np.asarray(t_cc), n_cc_pad), dtype=dtype)         if n_cc else jnp.zeros((0, 3), dtype=dtype)
+    cc_w = pad_axis0(np.asarray(cc_w), n_cc_pad) if n_cc else np.zeros(0)
+    num_points_pad = bucket_size(num_points, 64)
+    X0 = pad_axis0(np.asarray(X0), num_points_pad)
+
+    args_static = (num_frames, num_points_pad,
+                   float(opts.thres_loss_function),
                    float(opts.function_tolerance),
                    int(opts.max_num_iterations), 100)
-    of = jnp.asarray(o_frame.astype(np.int32))
-    op = jnp.asarray(o_point.astype(np.int32))
+    of = jnp.asarray(o_frame)
+    op = jnp.asarray(o_point_np)
     ow = jnp.asarray(obs_w, dtype=dtype)
-    ci = jnp.asarray(cc_i.astype(np.int32))
-    cj = jnp.asarray(cc_j.astype(np.int32))
+    ci = jnp.asarray(cc_i)
+    cj = jnp.asarray(cc_j)
     cw = jnp.asarray(cc_w, dtype=dtype)
 
     has_rig_offsets = bool(np.any(np.abs(np.asarray(u_rig)) > 0))
@@ -321,7 +346,7 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
         # delta smooths the basin), then the robust refinement
         c2, X2, _, _ = _solve_gp(sg * c1, sg * X1, of, op, t_obs, u_rig,
                                  ow, ci, cj, t_cc, cw,
-                                 num_frames, num_points, 1e3,
+                                 num_frames, num_points_pad, 1e3,
                                  float(opts.function_tolerance),
                                  int(opts.max_num_iterations), 100)
         c, X, cost, it = _solve_gp(c2, X2, of, op, t_obs, u_rig,
@@ -337,7 +362,7 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
     # cam_from_rig center is a joint unknown; here it is updated in closed
     # form given (c, X, s*) — a small weighted LS per sensor — and the GP
     # re-solved, which converges in a few rounds)
-    has_unknown = use_points and len(o_frame) and \
+    has_unknown = use_points and n_obs > 0 and \
         bool((~scene.sensor_known).any()) and bool(unknown_obs.any())
     if has_unknown:
         num_sensors = len(scene.sensor_quat)

@@ -253,12 +253,25 @@ def estimate_rotations(scene, view_graph,
         gm[g_idx] = 1.0
         grav_mask_d = jnp.asarray(gm, dtype=dtype)
 
+    # bucket-pad the edge axis so the two RA passes (and re-runs after
+    # rotation filtering) reuse the compiled solver; padded edges have
+    # valid=False -> zero weight
+    from glomap_tpu.utils.padding import bucket_size, pad_axis0
+    n_edge = len(fi)
+    n_pad = bucket_size(n_edge, 128)
+    valid = pad_axis0(np.ones(n_edge, dtype=bool), n_pad, fill=False)
+    fi_p = pad_axis0(fi, n_pad)
+    fj_p = pad_axis0(fj, n_pad)
+    q_rel_p = pad_axis0(np.asarray(q_rel), n_pad).copy()
+    q_rel_p[n_edge:, 0] = 1.0
+    base_w_p = pad_axis0(base_w, n_pad)
+
     quats = jnp.asarray(quats0, dtype=dtype)
-    fi_d = jnp.asarray(fi)
-    fj_d = jnp.asarray(fj)
-    q_rel_d = jnp.asarray(q_rel, dtype=dtype)
-    base_w_d = jnp.asarray(base_w, dtype=dtype)
-    valid_d = jnp.ones((len(fi),), dtype=bool)
+    fi_d = jnp.asarray(fi_p)
+    fj_d = jnp.asarray(fj_p)
+    q_rel_d = jnp.asarray(q_rel_p, dtype=dtype)
+    base_w_d = jnp.asarray(base_w_p, dtype=dtype)
+    valid_d = jnp.asarray(valid)
     use_dense = num_frames <= _DENSE_MAX_NODES
 
     sigma_rad = float(np.deg2rad(opts.irls_loss_parameter_sigma))
