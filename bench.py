@@ -81,6 +81,9 @@ def build_problem():
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from glomap_tpu.estimators.bundle_adjustment import _solve_ba
 

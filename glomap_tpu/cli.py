@@ -70,6 +70,9 @@ def run_mapper(args, extra):
     if tracks is None:
         print("mapper failed", file=sys.stderr)
         return 1
+    if args.image_path:
+        from glomap_tpu.processors.color_extraction import extract_colors
+        extract_colors(scene, tracks, args.image_path)
     dirs = write_reconstruction(args.output_path, scene, tracks,
                                 binary=args.output_format == "bin")
     print(f"Reconstruction written to: {', '.join(dirs)}")

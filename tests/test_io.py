@@ -150,3 +150,28 @@ def test_checkpoint_roundtrip(tmp_path):
                 assert a == b
             else:
                 np.testing.assert_array_equal(a, b, err_msg=f.name)
+
+
+def test_color_extraction(tmp_path):
+    from glomap_tpu.controllers.track_establishment import (
+        establish_full_tracks)
+    from glomap_tpu.processors.color_extraction import extract_colors
+    from PIL import Image as PILImage
+
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=4, num_points3D=60, seed=44))
+    tracks = establish_full_tracks(scene, vg)
+    # write solid-color images: image k is (k*10, 0, 255-k*10)
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    for k, name in enumerate(scene.image_names):
+        arr = np.zeros((int(scene.cam_height[scene.image_camera[k]]),
+                        int(scene.cam_width[scene.image_camera[k]]), 3),
+                       dtype=np.uint8)
+        arr[:, :] = (k * 10 % 256, 0, 255 - k * 10 % 256)
+        PILImage.fromarray(arr).save(str(img_dir / name))
+    n = extract_colors(scene, tracks, str(img_dir))
+    assert n > 30
+    # every colored track's color equals its first obs image's color
+    colored = tracks.color.sum(axis=1) > 0
+    assert colored.sum() > 30
