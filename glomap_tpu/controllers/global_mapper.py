@@ -42,11 +42,18 @@ class GlobalMapper:
         """Run the pipeline; mutates scene/view_graph, returns tracks
         (or None on failure)."""
         opt = self.options
-        t_start = time.time()
+        from glomap_tpu.utils.profiling import StageTimer
+        timer = StageTimer()
+        self.timer = timer
+        _stack = []
 
         def stage(name):
-            logger.info("[%7.1fs] ------ %s ------", time.time() - t_start,
-                        name)
+            # close the previous stage context, open the next
+            while _stack:
+                _stack.pop().__exit__(None, None, None)
+            cm = timer.stage(name)
+            cm.__enter__()
+            _stack.append(cm)
 
         # 0. Preprocessing
         if not opt.skip_preprocessing:
@@ -203,7 +210,9 @@ class GlobalMapper:
                 prune_weakly_connected_images)
             prune_weakly_connected_images(scene, tracks)
 
-        stage("done")
+        while _stack:
+            _stack.pop().__exit__(None, None, None)
+        logger.info("stage summary:\n%s", timer.summary())
         return tracks
 
 

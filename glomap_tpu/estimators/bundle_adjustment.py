@@ -396,12 +396,14 @@ def ba_fast_path_ok(scene: Scene) -> bool:
 
 def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
                             opts: BundleAdjusterOptions | None = None,
-                            dtype=jnp.float64) -> bool:
+                            dtype=None) -> bool:
     """Run global BA; updates scene poses/intrinsics and track points.
 
     Counterpart of BundleAdjuster::Solve (bundle_adjustment.cc:11-106).
     """
     opts = opts or BundleAdjusterOptions()
+    from glomap_tpu.utils.dtypes import solver_dtype
+    dtype = dtype or solver_dtype()
     if tracks.num_obs == 0:
         return False
 

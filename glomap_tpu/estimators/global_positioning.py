@@ -196,10 +196,12 @@ def _solve_gp(c0, X0,
 
 def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
                              opts: GlobalPositionerOptions | None = None,
-                             dtype=jnp.float64) -> bool:
+                             dtype=None) -> bool:
     """Estimate frame positions + track points; updates scene/tracks in
     place. Counterpart of GlobalPositioner::Solve."""
     opts = opts or GlobalPositionerOptions()
+    from glomap_tpu.utils.dtypes import solver_dtype
+    dtype = dtype or solver_dtype()
     rng = np.random.default_rng(opts.seed)
     num_frames = scene.num_frames
     num_points = max(tracks.num_tracks, 1)

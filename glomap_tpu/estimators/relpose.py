@@ -103,7 +103,10 @@ def _ransac_essential(key, ray1, ray2, match_pair, match_valid, offsets,
             return jax.ops.segment_sum(inl.astype(jnp.int32), match_pair,
                                        num_segments=num_pairs)
 
-        cnts = jax.vmap(score_h)(jnp.arange(hyp_per_round))  # (H, P)
+        # sequential over hypotheses: a vmap would materialize the
+        # (H, M, 3, 3) gathered-E tensor (tens of GB at match counts of
+        # large scenes); each map step peaks at O(M) memory instead
+        cnts = jax.lax.map(score_h, jnp.arange(hyp_per_round))  # (H, P)
         h_best = jnp.argmax(cnts, axis=0)  # (P,)
         cnt_best = jnp.take_along_axis(cnts, h_best[None], axis=0)[0]
         E_best = E[jnp.arange(num_pairs), h_best]
@@ -226,10 +229,12 @@ def _refine_poses(q0, t0, ray1, ray2, match_pair, match_valid,
 
 def estimate_relative_poses(scene: Scene, vg: ViewGraph,
                             opts: RelPoseEstimationOptions | None = None,
-                            dtype=jnp.float64, seed: int = 1) -> None:
+                            dtype=None, seed: int = 1) -> None:
     """Re-estimate cam2_from_cam1 for every valid pair; updates
     vg.pair_quat/pair_trans (and pair_E). Requires scene.kp_ray."""
     opts = opts or RelPoseEstimationOptions()
+    from glomap_tpu.utils.dtypes import solver_dtype
+    dtype = dtype or solver_dtype()
     if vg.num_pairs == 0:
         return
     kp1 = scene.kp_offset[vg.pair_i[vg.match_pair]] + vg.match_f1

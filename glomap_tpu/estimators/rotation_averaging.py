@@ -218,6 +218,8 @@ def estimate_rotations(scene, view_graph,
     retraction).
     """
     opts = opts or RotationEstimatorOptions()
+    from glomap_tpu.utils.dtypes import solver_dtype
+    dtype = dtype or solver_dtype()
     fi, fj, q_rel, w_edge = build_frame_edges(scene, view_graph, pair_mask)
     num_frames = scene.num_frames
     if len(fi) == 0 or num_frames == 0:

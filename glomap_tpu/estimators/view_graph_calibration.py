@@ -154,8 +154,10 @@ def _solve_focals(f0, ci, cj, d01, d12, pair_w, free_mask,
 
 def calibrate_view_graph(scene: Scene, vg: ViewGraph,
                          opts: ViewGraphCalibratorOptions | None = None,
-                         dtype=jnp.float64) -> bool:
+                         dtype=None) -> bool:
     """Estimate focals of cameras without priors; invalidate bad pairs."""
+    from glomap_tpu.utils.dtypes import solver_dtype
+    dtype = dtype or solver_dtype()
     opts = opts or ViewGraphCalibratorOptions()
     use = vg.pair_valid & ((vg.pair_config == CONFIG_CALIBRATED) |
                            (vg.pair_config == CONFIG_UNCALIBRATED))

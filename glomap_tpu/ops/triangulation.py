@@ -44,9 +44,11 @@ def midpoint_triangulate(obs_track, d, c, w, num_tracks: int):
 
 
 def triangulate_tracks(scene: Scene, tracks: Tracks,
-                       dtype=jnp.float64) -> np.ndarray:
+                       dtype=None) -> np.ndarray:
     """Fill tracks.xyz from current poses + rays; returns per-track
     well-posedness mask."""
+    from glomap_tpu.utils.dtypes import solver_dtype
+    dtype = dtype or solver_dtype()
     if tracks.num_obs == 0:
         return np.zeros(0, dtype=bool)
     ob = tracks.obs_valid
