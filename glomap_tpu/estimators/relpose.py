@@ -77,12 +77,17 @@ def _decompose_E(E):
 
 
 @partial(jax.jit, static_argnames=("num_pairs", "hyp_per_round", "rounds"))
-def _ransac_essential(key, ray1, ray2, match_pair, match_valid, offsets,
-                      counts, sq_thres_pair, num_pairs: int,
-                      hyp_per_round: int, rounds: int):
-    """Returns (best_E (P,3,3), best_count (P,))."""
+def _ransac_essential(key, ray1, ray2, ray1T, ray2T, match_pair,
+                      match_valid, offsets, counts, sq_thres_pair,
+                      num_pairs: int, hyp_per_round: int, rounds: int):
+    """Returns (best_E (P,3,3), best_count (P,)).
+
+    Scoring runs in lane-major layout (match axis trailing): per-match
+    (3, 3) tensors tile-pad ~50x on TPU and OOM at city-scale match
+    counts, so the per-hypothesis E is gathered as (9, M) rows instead.
+    """
     dtype = ray1.dtype
-    M = ray1.shape[0]
+    sq_thres_m = sq_thres_pair[match_pair]
 
     def one_round(carry, rkey):
         best_E, best_cnt = carry
@@ -97,15 +102,14 @@ def _ransac_essential(key, ray1, ray2, match_pair, match_valid, offsets,
 
         # score every hypothesis against all its pair's matches
         def score_h(h):
-            Eh = E[:, h]  # (P, 3, 3)
-            err = tv.sampson_error_sq(Eh[match_pair], ray1, ray2)
-            inl = (err < sq_thres_pair[match_pair]) & match_valid
+            E9T = E[:, h].reshape(num_pairs, 9).T  # (9, P)
+            E9_m = E9T[:, match_pair]  # (9, M) lane-major gather
+            err = tv.sampson_error_sq_rows(E9_m, ray1T, ray2T)
+            inl = (err < sq_thres_m) & match_valid
             return jax.ops.segment_sum(inl.astype(jnp.int32), match_pair,
                                        num_segments=num_pairs)
 
-        # sequential over hypotheses: a vmap would materialize the
-        # (H, M, 3, 3) gathered-E tensor (tens of GB at match counts of
-        # large scenes); each map step peaks at O(M) memory instead
+        # sequential over hypotheses keeps peak memory at O(M)
         cnts = jax.lax.map(score_h, jnp.arange(hyp_per_round))  # (H, P)
         h_best = jnp.argmax(cnts, axis=0)  # (P,)
         cnt_best = jnp.take_along_axis(cnts, h_best[None], axis=0)[0]
@@ -122,19 +126,39 @@ def _ransac_essential(key, ray1, ray2, match_pair, match_valid, offsets,
     return best_E, best_cnt
 
 
+def _cheirality_rows(R9_m, tT_m, x1T, x2T, min_depth=1e-2, max_depth=100.0):
+    """check_cheirality in lane-major layout: R9_m (9, M) rotation rows,
+    tT_m (3, M) translations, rays (3, M)."""
+    Rx0 = R9_m[0] * x1T[0] + R9_m[1] * x1T[1] + R9_m[2] * x1T[2]
+    Rx1 = R9_m[3] * x1T[0] + R9_m[4] * x1T[1] + R9_m[5] * x1T[2]
+    Rx2 = R9_m[6] * x1T[0] + R9_m[7] * x1T[1] + R9_m[8] * x1T[2]
+    a = -(Rx0 * x2T[0] + Rx1 * x2T[1] + Rx2 * x2T[2])
+    b1 = -(Rx0 * tT_m[0] + Rx1 * tT_m[1] + Rx2 * tT_m[2])
+    b2 = x2T[0] * tT_m[0] + x2T[1] * tT_m[1] + x2T[2] * tT_m[2]
+    lam1 = b1 - a * b2
+    lam2 = -a * b1 + b2
+    scale = 1.0 - a * a
+    lo = min_depth * scale
+    hi = max_depth * scale
+    return (lam1 > lo) & (lam2 > lo) & (lam1 < hi) & (lam2 < hi)
+
+
 @partial(jax.jit, static_argnames=("num_pairs",))
-def _choose_pose(best_E, ray1, ray2, match_pair, match_valid,
+def _choose_pose(best_E, ray1T, ray2T, match_pair, match_valid,
                  num_pairs: int):
-    """Decompose E and pick the candidate with the best cheirality vote."""
+    """Decompose E and pick the candidate with the best cheirality vote
+    (lane-major sweep per candidate)."""
     qs, ts = _decompose_E(best_E)  # (P, 4, 4), (P, 4, 3)
 
     def votes(k):
-        ch = tv.check_cheirality(qs[match_pair, k], ts[match_pair, k],
-                                 ray1, ray2, 1e-2, 100.0) & match_valid
+        R9T = rotm.quat_to_rotmat(qs[:, k]).reshape(num_pairs, 9).T
+        tT = ts[:, k].T  # (3, P)
+        ch = _cheirality_rows(R9T[:, match_pair], tT[:, match_pair],
+                              ray1T, ray2T) & match_valid
         return jax.ops.segment_sum(ch.astype(jnp.int32), match_pair,
                                    num_segments=num_pairs)
 
-    v = jax.vmap(votes)(jnp.arange(4))  # (4, P)
+    v = jax.lax.map(votes, jnp.arange(4))  # (4, P)
     k_best = jnp.argmax(v, axis=0)
     q = qs[jnp.arange(num_pairs), k_best]
     t = ts[jnp.arange(num_pairs), k_best]
@@ -154,55 +178,67 @@ def _tangent_basis(t):
 
 
 @partial(jax.jit, static_argnames=("num_pairs", "num_iters"))
-def _refine_poses(q0, t0, ray1, ray2, match_pair, match_valid,
+def _refine_poses(q0, t0, ray1T, ray2T, match_pair, match_valid,
                   sq_thres_pair, num_pairs: int, num_iters: int):
     """Batched LM on (rotation tangent, translation sphere) per pair,
-    minimizing truncated squared Sampson error (the LO step of LO-RANSAC)."""
-    dtype = t0.dtype
+    minimizing truncated squared Sampson error (the LO step of LO-RANSAC).
 
-    def residuals(q, t):
-        E = tv.essential_from_motion(q, t)
-        err = tv.sampson_error_sq(E[match_pair], ray1, ray2)
-        return err
+    Lane-major throughout: the per-match Jacobian J (5, M) comes from the
+    chain rule dr/dz = (dr/dE9) (dE9/dz) where dE9/dz is a tiny per-pair
+    (9, 5) tensor (jacfwd over pairs) and each dr/dz_k is one jvp of the
+    rows-form Sampson sweep.
+    """
+    dtype = t0.dtype
+    sq_thres_m = sq_thres_pair[match_pair]
+    valid_f = match_valid.astype(dtype)
+
+    def E9_of(q, t, b1, b2, z):
+        q2 = rotm.quat_mul(q, rotm.so3_exp_quat(z[0:3]))
+        t2 = t + z[3] * b1 + z[4] * b2
+        t2 = t2 / jnp.maximum(jnp.linalg.norm(t2), 1e-12)
+        return tv.essential_from_motion(q2, t2).reshape(9)
 
     def cost_of(q, t):
-        err = residuals(q, t)
-        capped = jnp.minimum(err, sq_thres_pair[match_pair])
-        capped = jnp.where(match_valid, capped, 0.0)
+        E9T = jax.vmap(lambda qq, tt: tv.essential_from_motion(
+            qq, tt).reshape(9))(q, t).T  # (9, P)
+        err = tv.sampson_error_sq_rows(E9T[:, match_pair], ray1T, ray2T)
+        capped = jnp.minimum(err, sq_thres_m) * valid_f
         return jax.ops.segment_sum(capped, match_pair,
                                    num_segments=num_pairs)
 
     def lm_step(state, _):
         q, t, lam, cost = state
         b1, b2 = _tangent_basis(t)
+        z0 = jnp.zeros((num_pairs, 5), dtype)
+        # per-pair E9 and dE9/dz (P, 9, 5) — tiny
+        E9 = jax.vmap(E9_of)(q, t, b1, b2, z0)  # (P, 9)
+        dE9 = jax.vmap(jax.jacfwd(E9_of, argnums=4))(q, t, b1, b2, z0)
+        E9_m = E9.T[:, match_pair]  # (9, M)
 
-        def r_of_z(z, r1s, r2s, qq, tt, bb1, bb2):
-            w = z[0:3]
-            q2 = rotm.quat_mul(qq, rotm.so3_exp_quat(w))
-            t2 = tt + z[3] * bb1 + z[4] * bb2
-            t2 = t2 / jnp.maximum(jnp.linalg.norm(t2), 1e-12)
-            E = tv.essential_from_motion(q2, t2)
-            e2 = tv.sampson_error_sq(E, r1s, r2s)
-            return jnp.sqrt(jnp.maximum(e2, 1e-18))
-
-        z0 = jnp.zeros((5,), dtype)
-
-        def per_match(r1s, r2s, pid):
-            f = lambda z: r_of_z(z, r1s, r2s, q[pid], t[pid], b1[pid],
-                                 b2[pid])
-            r = f(z0)
-            Jr = jax.grad(f)(z0)
-            return r, Jr
-
-        r, J = jax.vmap(per_match)(ray1, ray2, match_pair)
-        # truncated-L2 weight: only inliers contribute
-        inl = (r * r < sq_thres_pair[match_pair]) & match_valid
+        r2 = tv.sampson_error_sq_rows(E9_m, ray1T, ray2T)
+        r = jnp.sqrt(jnp.maximum(r2, 1e-18))
+        inl = (r2 < sq_thres_m) & match_valid
         w = inl.astype(dtype)
-        H = jax.ops.segment_sum(w[:, None, None] * J[:, :, None] *
-                                J[:, None, :], match_pair,
-                                num_segments=num_pairs)
-        g = jax.ops.segment_sum((w * r)[:, None] * J, match_pair,
-                                num_segments=num_pairs)
+
+        sampson = lambda e: tv.sampson_error_sq_rows(e, ray1T, ray2T)
+        Jrows = []
+        for k in range(5):
+            tang = dE9[:, :, k].T[:, match_pair]  # (9, M)
+            _, dr2 = jax.jvp(sampson, (E9_m,), (tang,))
+            Jrows.append(dr2 / (2.0 * r))  # d sqrt(r2) / dz_k
+        # per-pair normal equations from (5, M) rows
+        H = jnp.zeros((num_pairs, 5, 5), dtype)
+        g = jnp.zeros((num_pairs, 5), dtype)
+        for a in range(5):
+            g = g.at[:, a].set(jax.ops.segment_sum(
+                w * r * Jrows[a], match_pair, num_segments=num_pairs))
+            for b in range(a, 5):
+                hab = jax.ops.segment_sum(w * Jrows[a] * Jrows[b],
+                                          match_pair,
+                                          num_segments=num_pairs)
+                H = H.at[:, a, b].set(hab)
+                if b != a:
+                    H = H.at[:, b, a].set(hab)
         diag = jnp.diagonal(H, axis1=-2, axis2=-1)
         H = H + ((lam[:, None] * diag + 1e-10)[..., None] *
                  jnp.eye(5, dtype=dtype))
@@ -241,6 +277,10 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     kp2 = scene.kp_offset[vg.pair_j[vg.match_pair]] + vg.match_f2
     ray1 = jnp.asarray(scene.kp_ray[kp1], dtype=dtype)
     ray2 = jnp.asarray(scene.kp_ray[kp2], dtype=dtype)
+    ray1T = jnp.asarray(np.ascontiguousarray(scene.kp_ray[kp1].T),
+                        dtype=dtype)
+    ray2T = jnp.asarray(np.ascontiguousarray(scene.kp_ray[kp2].T),
+                        dtype=dtype)
     match_pair = jnp.asarray(vg.match_pair)
     match_valid = jnp.asarray(vg.pair_valid[vg.match_pair])
     offsets = jnp.asarray(vg.pair_match_offset[:-1].astype(np.int64))
@@ -259,11 +299,11 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     rounds = max(1, min(opts.num_hypotheses, 4096) // hyp_per_round)
     key = jax.random.PRNGKey(seed)
     best_E, best_cnt = _ransac_essential(
-        key, ray1, ray2, match_pair, match_valid, offsets, counts, sq_thres,
-        P, hyp_per_round, rounds)
-    q, t = _choose_pose(best_E, ray1, ray2, match_pair, match_valid, P)
-    q, t = _refine_poses(q, t, ray1, ray2, match_pair, match_valid, sq_thres,
-                         P, opts.refine_num_lm_iters)
+        key, ray1, ray2, ray1T, ray2T, match_pair, match_valid, offsets,
+        counts, sq_thres, P, hyp_per_round, rounds)
+    q, t = _choose_pose(best_E, ray1T, ray2T, match_pair, match_valid, P)
+    q, t = _refine_poses(q, t, ray1T, ray2T, match_pair, match_valid,
+                         sq_thres, P, opts.refine_num_lm_iters)
 
     vg.pair_quat = np.array(q, dtype=np.float64, copy=True)
     vg.pair_trans = np.array(t, dtype=np.float64, copy=True)

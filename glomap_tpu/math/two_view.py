@@ -82,6 +82,30 @@ def sampson_error_sq(E: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
     return C * C / jnp.maximum(denom, EPS)
 
 
+def sampson_error_sq_rows(E9: jax.Array, x1T: jax.Array,
+                          x2T: jax.Array) -> jax.Array:
+    """Squared Sampson error in lane-major (transposed) layout.
+
+    E9 (9, M) row-major flattened E per match; x1T, x2T (3, M) homogeneous
+    points. TPU tile padding makes (M, 3, 3) per-match tensors explode
+    ~50x in memory (trailing dims pad to the 128-lane tile); keeping M as
+    the trailing axis makes every intermediate a full-width vector op.
+    """
+    z1 = x1T[2] + EPS
+    z2 = x2T[2] + EPS
+    a0, a1 = x1T[0] / z1, x1T[1] / z1
+    b0, b1 = x2T[0] / z2, x2T[1] / z2
+    one = jnp.ones_like(a0)
+    Ex0 = E9[0] * a0 + E9[1] * a1 + E9[2] * one
+    Ex1 = E9[3] * a0 + E9[4] * a1 + E9[5] * one
+    Ex2 = E9[6] * a0 + E9[7] * a1 + E9[8] * one
+    Et0 = E9[0] * b0 + E9[3] * b1 + E9[6] * one
+    Et1 = E9[1] * b0 + E9[4] * b1 + E9[7] * one
+    C = Ex0 * b0 + Ex1 * b1 + Ex2 * one
+    denom = Ex0 * Ex0 + Ex1 * Ex1 + Et0 * Et0 + Et1 * Et1
+    return C * C / jnp.maximum(denom, EPS)
+
+
 def sampson_error_sq_2d(E: jax.Array, uv1: jax.Array, uv2: jax.Array) -> jax.Array:
     """Squared Sampson error on 2D (inhomogeneous) points."""
     x1 = jnp.concatenate([uv1, jnp.ones_like(uv1[..., :1])], axis=-1)

@@ -5,8 +5,12 @@ Counterpart of glomap/processors/image_pair_inliers.{h,cc}
 Sampson / homography-transfer errors with per-config thresholds and
 cheirality / degeneracy checks, aggregated per pair. The reference loops
 pairs on a CPU thread pool; here every match of every pair is scored in a
-single batched computation (gathers by pair index + segment sums) — the
-dense O(pairs x matches) sweep the TPU excels at.
+single batched computation — the dense O(pairs x matches) sweep the TPU
+excels at.
+
+All per-match work runs in lane-major layout (match axis trailing): on
+TPU, per-match (3, 3) tensors tile-pad ~50x in memory, so the per-pair
+E/F/H matrices are gathered as (9, M) coefficient rows instead.
 
 Semantics matched to the reference:
   * CALIBRATED (E): squared Sampson on undistorted rays (z-normalized),
@@ -42,21 +46,25 @@ def _score_matches(num_pairs,
                    # per-pair arrays
                    config, pair_q, pair_t, pair_F, pair_H, pair_valid,
                    focal1, focal2,
-                   # per-match arrays
-                   mp, ray1, ray2, px1, px2,
+                   # per-match arrays, lane-major (k, M)
+                   mp, ray1T, ray2T, px1T, px2T,
                    # thresholds
                    thres_E, thres_F, thres_H):
     """Returns (match_inlier, pair_num_inliers, pair_score)."""
     cfg_m = config[mp]
     valid_m = pair_valid[mp]
+    one = jnp.ones_like(px1T[0])
 
     # ---- Essential (rays, normalized threshold) ----
-    E = tv.essential_from_motion(pair_q, pair_t)
+    E9T = jax.vmap(lambda q, t: tv.essential_from_motion(q, t).reshape(9))(
+        pair_q, pair_t).T  # (9, P)
     thrE = thres_E * 0.5 * (1.0 / focal1 + 1.0 / focal2)
     sq_thrE_m = (thrE * thrE)[mp]
-    r2_E = tv.sampson_error_sq(E[mp], ray1, ray2)
-    cheir = tv.check_cheirality(pair_q[mp], pair_t[mp], ray1, ray2,
-                                min_depth=1e-2, max_depth=100.0)
+    r2_E = tv.sampson_error_sq_rows(E9T[:, mp], ray1T, ray2T)
+    from glomap_tpu.estimators.relpose import _cheirality_rows
+    R9T = jax.vmap(lambda q: rotm.quat_to_rotmat(q).reshape(9))(pair_q).T
+    cheir = _cheirality_rows(R9T[:, mp], pair_t.T[:, mp], ray1T, ray2T,
+                             min_depth=1e-2, max_depth=100.0)
     # epipole proximity degeneracy (cos 3 deg)
     ep12 = pair_t
     ep12 = jnp.where(ep12[..., 2:3] < 0, -ep12, ep12)
@@ -67,20 +75,29 @@ def _score_matches(num_pairs,
     ep21 = ep21 / jnp.maximum(jnp.linalg.norm(ep21, axis=-1, keepdims=True),
                               1e-12)
     cos3 = jnp.cos(jnp.deg2rad(3.0)) + 1e-6
-    near_epipole = (jnp.sum(ray1 * ep21[mp], axis=-1) >= cos3) | \
-        (jnp.sum(ray2 * ep12[mp], axis=-1) >= cos3)
+    e21T = ep21.T[:, mp]
+    e12T = ep12.T[:, mp]
+    d1 = ray1T[0] * e21T[0] + ray1T[1] * e21T[1] + ray1T[2] * e21T[2]
+    d2 = ray2T[0] * e12T[0] + ray2T[1] * e12T[1] + ray2T[2] * e12T[2]
+    near_epipole = (d1 >= cos3) | (d2 >= cos3)
     ok_E = (r2_E < sq_thrE_m) & cheir & ~near_epipole
 
     # ---- Fundamental (pixels) ----
     sq_thrF = thres_F * thres_F
-    r2_F = tv.sampson_error_sq_2d(pair_F[mp], px1, px2)
+    F9T = pair_F.reshape(num_pairs, 9).T  # (9, P)
+    F9_m = F9T[:, mp]
+    r2_F = tv.sampson_error_sq_rows(F9_m, px1T, px2T)
     pre_F = r2_F < sq_thrF
     # orientation signum majority vote per pair
     epi = jnp.cross(pair_F[:, 0, :], pair_F[:, 2, :])
     epi_alt = jnp.cross(pair_F[:, 1, :], pair_F[:, 2, :])
     use_alt = jnp.max(jnp.abs(epi), axis=-1) <= 1e-12
     epi = jnp.where(use_alt[:, None], epi_alt, epi)
-    sig = tv.orientation_signum(pair_F[mp], epi[mp], px1, px2)
+    epiT = epi.T[:, mp]  # (3, M)
+    # signum rows: s1 = F00 x2 + F10 y2 + F20; s2 = e1 - e2 * y1
+    s1 = F9_m[0] * px2T[0] + F9_m[3] * px2T[1] + F9_m[6]
+    s2 = epiT[1] - epiT[2] * px1T[1]
+    sig = s1 * s2
     is_F = cfg_m == CONFIG_UNCALIBRATED
     votes = jnp.where(pre_F & is_F, jnp.sign(sig), 0.0)
     vote_sum = jax.ops.segment_sum(votes, mp, num_segments=num_pairs)
@@ -90,7 +107,12 @@ def _score_matches(num_pairs,
 
     # ---- Homography (pixels) ----
     sq_thrH = thres_H * thres_H
-    r2_H = tv.homography_error_sq(pair_H[mp], px1, px2)
+    H9_m = pair_H.reshape(num_pairs, 9).T[:, mp]
+    Hx0 = H9_m[0] * px1T[0] + H9_m[1] * px1T[1] + H9_m[2]
+    Hx1 = H9_m[3] * px1T[0] + H9_m[4] * px1T[1] + H9_m[5]
+    Hx2 = H9_m[6] * px1T[0] + H9_m[7] * px1T[1] + H9_m[8]
+    zi = 1.0 / (Hx2 + 1e-12)
+    r2_H = (Hx0 * zi - px2T[0]) ** 2 + (Hx1 * zi - px2T[1]) ** 2
     ok_H = r2_H < sq_thrH
 
     is_E = cfg_m == CONFIG_CALIBRATED
@@ -129,15 +151,21 @@ def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
     f1 = cm.mean_focal(scene.cam_params[scene.image_camera[vg.pair_i]])
     f2 = cm.mean_focal(scene.cam_params[scene.image_camera[vg.pair_j]])
 
+    def homogT(a):  # (M, 2) pixels -> (3, M) homogeneous rows
+        return np.ascontiguousarray(
+            np.concatenate([a, np.ones((len(a), 1))], axis=1).T)
+
     inlier, n_inl, score = _score_matches(
         vg.num_pairs,
         jnp.asarray(vg.pair_config), jnp.asarray(vg.pair_quat),
         jnp.asarray(vg.pair_trans), jnp.asarray(vg.pair_F),
         jnp.asarray(vg.pair_H), jnp.asarray(vg.pair_valid),
         jnp.asarray(np.asarray(f1)), jnp.asarray(np.asarray(f2)),
-        jnp.asarray(vg.match_pair), jnp.asarray(scene.kp_ray[kp1]),
-        jnp.asarray(scene.kp_ray[kp2]), jnp.asarray(scene.kp_xy[kp1]),
-        jnp.asarray(scene.kp_xy[kp2]),
+        jnp.asarray(vg.match_pair),
+        jnp.asarray(np.ascontiguousarray(scene.kp_ray[kp1].T)),
+        jnp.asarray(np.ascontiguousarray(scene.kp_ray[kp2].T)),
+        jnp.asarray(homogT(scene.kp_xy[kp1])),
+        jnp.asarray(homogT(scene.kp_xy[kp2])),
         float(opts.max_epipolar_error_E), float(opts.max_epipolar_error_F),
         float(opts.max_epipolar_error_H))
 

@@ -90,11 +90,14 @@ def decompose_rel_pose(scene: Scene, vg: ViewGraph,
     if not scene.kp_ray.any():
         undistort_images(scene)
 
+    import numpy as _np
     kp1 = scene.kp_offset[vg.pair_i[vg.match_pair]] + vg.match_f1
     kp2 = scene.kp_offset[vg.pair_j[vg.match_pair]] + vg.match_f2
     q, t = _choose_pose(jnp.asarray(vg.pair_E),
-                        jnp.asarray(scene.kp_ray[kp1]),
-                        jnp.asarray(scene.kp_ray[kp2]),
+                        jnp.asarray(_np.ascontiguousarray(
+                            scene.kp_ray[kp1].T)),
+                        jnp.asarray(_np.ascontiguousarray(
+                            scene.kp_ray[kp2].T)),
                         jnp.asarray(vg.match_pair),
                         jnp.asarray(use[vg.match_pair] & vg.match_inlier),
                         vg.num_pairs)

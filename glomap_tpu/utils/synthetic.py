@@ -216,53 +216,56 @@ def synthesize_dataset(opt: SyntheticOptions):
     for i in range(n_img):
         feat_of_point[i, kp_point_list[i]] = np.arange(len(kp_point_list[i]))
 
-    # view graph: edge for every pair with enough shared points
+    # view graph: edge for every pair with enough shared points.
+    # Vectorized: visibility matmul for shared counts, batched quaternion
+    # math for all qualifying pairs at once (the per-pair python loop only
+    # assembles match index lists).
     vg = ViewGraph()
-    pi, pj, e_list, f_list, q_list, t_list = [], [], [], [], [], []
-    m_pair, m_f1, m_f2 = [], [], []
-    offsets = [0]
     K = np.zeros((n_cam, 3, 3))
+    Kinv = np.zeros((n_cam, 3, 3))
     for c in range(n_cam):
         K[c] = np.asarray(
             tv.calib_matrix(scene.cam_params[c, 0], scene.cam_params[c, 1],
                             scene.cam_params[c, 2], scene.cam_params[c, 3]))
-    pcount = 0
-    for i in range(n_img):
-        for j in range(i + 1, n_img):
-            shared = np.nonzero((feat_of_point[i] >= 0) &
-                                (feat_of_point[j] >= 0))[0]
-            if len(shared) < opt.min_common_points:
-                continue
-            f1 = feat_of_point[i][shared]
-            f2 = feat_of_point[j][shared].copy()
-            # corrupt a fraction into outlier matches
-            n_out = int(round((1.0 - opt.inlier_match_ratio) * len(shared)))
-            if n_out > 0:
-                out_idx = rng.choice(len(shared), size=n_out, replace=False)
-                nj = kp_offset[j + 1] - kp_offset[j]
-                f2[out_idx] = rng.integers(0, nj, size=n_out)
-            # relative pose cam_j_from_cam_i (ground truth)
-            qj, tj = img_q[j], img_t[j]
-            qi_inv, ti_inv = rotm.rigid_inverse(jnp.asarray(img_q[i]),
-                                                jnp.asarray(img_t[i]))
-            qr, tr = rotm.rigid_compose(jnp.asarray(qj), jnp.asarray(tj),
-                                        qi_inv, ti_inv)
-            qr, tr = np.asarray(qr), np.asarray(tr)
-            E = np.asarray(tv.essential_from_motion(jnp.asarray(qr),
-                                                    jnp.asarray(tr)))
-            ci, cj = scene.image_camera[i], scene.image_camera[j]
-            F = np.linalg.inv(K[cj]).T @ E @ np.linalg.inv(K[ci])
-            pi.append(i)
-            pj.append(j)
-            e_list.append(E)
-            f_list.append(F)
-            q_list.append(qr)
-            t_list.append(tr)
-            m_pair.extend([pcount] * len(shared))
-            m_f1.extend(f1.tolist())
-            m_f2.extend(f2.tolist())
-            offsets.append(offsets[-1] + len(shared))
-            pcount += 1
+        Kinv[c] = np.linalg.inv(K[c])
+    visible = feat_of_point >= 0  # (I, P)
+    shared_counts = visible.astype(np.int32) @ visible.T.astype(np.int32)
+    iu, ju = np.nonzero(np.triu(shared_counts >= opt.min_common_points, 1))
+    pcount = len(iu)
+
+    # batched GT relative poses for all pairs
+    qi_inv, ti_inv = rotm.rigid_inverse(jnp.asarray(img_q[iu]),
+                                        jnp.asarray(img_t[iu]))
+    q_all, t_all = rotm.rigid_compose(jnp.asarray(img_q[ju]),
+                                      jnp.asarray(img_t[ju]), qi_inv, ti_inv)
+    E_all = np.asarray(tv.essential_from_motion(q_all, t_all))
+    q_all, t_all = np.asarray(q_all), np.asarray(t_all)
+    ci_all = scene.image_camera[iu]
+    cj_all = scene.image_camera[ju]
+    F_all = np.einsum("pji,pjk,pkl->pil", Kinv[cj_all], E_all, Kinv[ci_all])
+
+    pi, pj, e_list, f_list, q_list, t_list = \
+        list(iu), list(ju), list(E_all), list(F_all), list(q_all), list(t_all)
+    m_pair, m_f1, m_f2 = [], [], []
+    offsets = [0]
+    for k in range(pcount):
+        i, j = int(iu[k]), int(ju[k])
+        shared = np.nonzero(visible[i] & visible[j])[0]
+        f1 = feat_of_point[i][shared]
+        f2 = feat_of_point[j][shared].copy()
+        # corrupt a fraction into outlier matches
+        n_out = int(round((1.0 - opt.inlier_match_ratio) * len(shared)))
+        if n_out > 0:
+            out_idx = rng.choice(len(shared), size=n_out, replace=False)
+            nj = kp_offset[j + 1] - kp_offset[j]
+            f2[out_idx] = rng.integers(0, nj, size=n_out)
+        m_pair.append(np.full(len(shared), k, dtype=np.int64))
+        m_f1.append(f1)
+        m_f2.append(f2)
+        offsets.append(offsets[-1] + len(shared))
+    m_pair = np.concatenate(m_pair) if m_pair else np.zeros(0, np.int64)
+    m_f1 = np.concatenate(m_f1) if len(m_f1) else np.zeros(0, np.int64)
+    m_f2 = np.concatenate(m_f2) if len(m_f2) else np.zeros(0, np.int64)
 
     vg.pair_i = np.asarray(pi, dtype=np.int32)
     vg.pair_j = np.asarray(pj, dtype=np.int32)
