@@ -50,7 +50,15 @@ def _apply_dotted_flags(opt, unknown_args):
             i += 2
         parts = name.split(".")
         if len(parts) == 2 and parts[0] in alias:
-            name = alias[parts[0]] + "." + parts[1]
+            field = parts[1]
+            # reference triangulation flags drop the tri_ prefix
+            if parts[0] == "Triangulation" and field in (
+                    "complete_max_reproj_error", "merge_max_reproj_error",
+                    "min_angle"):
+                field = "tri_" + field
+            name = alias[parts[0]] + "." + field
+        if name.endswith(".use_gpu") or name.endswith(".gpu_index"):
+            continue  # reference GPU toggles: always-on TPU here
         try:
             cfg.set_option(opt, name, value)
         except AttributeError:

@@ -60,6 +60,9 @@ def main():
                         "--prepare", "--frames", str(args.frames),
                         "--points", str(args.points)], env=env, check=True)
 
+    import logging
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s: %(message)s")
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_tpu_cache")
