@@ -63,6 +63,10 @@ class RelPoseEstimationOptions:
     num_hypotheses: int = 1024       # hypotheses per batch round
     num_rounds: int = 8              # batched rounds (~8k hypotheses total)
     refine_num_lm_iters: int = 10
+    # hypothesis scoring/refinement uses at most this many matches per
+    # pair (the FULL match set is classified afterwards by the Sampson
+    # inlier pass); bounds RANSAC work at H x P x cap
+    score_match_cap: int = 512
 
 
 @dataclass

@@ -4,26 +4,29 @@ Counterpart of glomap/estimators/relpose_estimation.{h,cc}
 (EstimateRelativePoses via PoseLib LO-RANSAC, 50k iterations max, run on a
 CPU thread pool over pairs in 10 chunks).
 
-TPU-first re-design: instead of per-pair adaptive RANSAC, ALL pairs draw
-fixed-size hypothesis batches in parallel:
-  1. sample 8 matches per (pair, hypothesis); build the epipolar
-     constraint matrix from undistorted rays; smallest eigenvector of
-     A^T A (batched 9x9 eigh) -> E candidate; project to the essential
-     manifold (batched 3x3 SVD)
-  2. score every candidate against ALL of its pair's matches with squared
-     Sampson error (gather by pair + segment-sum) — the dense
-     O(pairs x hypotheses x matches) sweep that maps perfectly onto the
-     VPU; hypothesis rounds keep peak memory bounded
-  3. best-per-pair E -> 4 (R, t) decompositions -> cheirality vote over
-     all matches -> pose
-  4. local optimization: ~10 batched LM steps on (rotation tangent,
-     translation sphere tangent) minimizing robust Sampson error over all
-     pairs at once (5x5 per-pair normal equations, vectorized
-     accept/reject)
+TPU-first design. Matches are packed into PADDED PER-PAIR TABLES
+(P, cap) — component arrays with the cap axis as trailing lanes — so the
+entire RANSAC (sampling, scoring, cheirality voting, LO refinement) is
+dense regular math with NO gathers or scatters in the hot loops:
 
+  1. sample 8 matches per (pair, hypothesis) by within-row
+     take_along_axis; 8-point nullspace by unrolled-Cholesky inverse
+     iteration (ops/smallalg.min_eigvec9 — batched LAPACK eigh measured
+     ~4 s for 316k 9x9 on TPU, this is microseconds); essential
+     projection via analytic 3x3 eigendecomposition
+  2. score every hypothesis against the pair tables: component-form
+     Sampson sweep over (P, cap) + masked trailing-axis reduce
+  3. best-per-pair E -> 4 closed-form (R, t) decompositions ->
+     cheirality vote over the tables -> pose
+  4. local optimization: batched LM on (rotation tangent, translation
+     sphere) with Jacobians from the per-pair dE9/dz chain rule (5 jvps
+     of the table Sampson sweep); 5x5 per-pair normal equations by
+     trailing-axis reduction
+
+Scoring/refinement use at most opts.score_match_cap matches per pair (the
+FULL match set is classified downstream by processors/pair_inliers).
 All cameras use their current intrinsics to lift pixels to rays, matching
-the reference's strategy of undistorting through the (possibly
-calibrated-by-stage-1) camera models (relpose_estimation.cc:66-97).
+the reference's strategy (relpose_estimation.cc:66-97).
 """
 
 from __future__ import annotations
@@ -37,98 +40,58 @@ import jax.numpy as jnp
 from glomap_tpu.config import RelPoseEstimationOptions
 from glomap_tpu.math import rotation as rotm
 from glomap_tpu.math import two_view as tv
+from glomap_tpu.ops import smallalg as sa
 from glomap_tpu.scene.arrays import Scene
 from glomap_tpu.scene.view_graph import ViewGraph
 
 
-def _essential_candidates(r1, r2):
-    """8 ray pairs (..., 8, 3) each -> essential matrix (..., 3, 3).
-
-    Nullspace of the stacked epipolar constraints via eigh of A^T A,
-    then projection to the essential manifold (sigma = (1, 1, 0))."""
-    # row_k = kron(x1_k, x2_k): x2^T E x1 = sum_ij E_ij x2_i x1_j
-    A = (r2[..., :, :, None] * r1[..., :, None, :]).reshape(
-        r1.shape[:-2] + (8, 9))
-    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    e = vecs[..., :, 0]  # smallest eigenvalue
-    E = e.reshape(e.shape[:-1] + (3, 3))
-    U, S, Vt = jnp.linalg.svd(E)
-    sigma = jnp.asarray([1.0, 1.0, 0.0], dtype=E.dtype)
-    return U @ (sigma[..., None] * Vt)
+# ---------------------------------------------------------------------------
+# component-form geometry on (P, cap) tables; E9 (P, 9) broadcasts as (P, 1)
+# ---------------------------------------------------------------------------
 
 
-def _decompose_E(E):
-    """E -> 4 candidate (quat, t) with t unit (standard U W V^T recipe)."""
-    U, _, Vt = jnp.linalg.svd(E)
-    # keep rotations proper
-    U = U * jnp.sign(jnp.linalg.det(U))[..., None, None]
-    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))[..., None, None]
-    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
-                    dtype=E.dtype)
-    R1 = U @ W @ Vt
-    R2 = U @ W.T @ Vt
-    t = U[..., :, 2]
-    qs = jnp.stack([rotm.rotmat_to_quat(R1), rotm.rotmat_to_quat(R1),
-                    rotm.rotmat_to_quat(R2), rotm.rotmat_to_quat(R2)],
-                   axis=-2)  # (..., 4 cands, 4)
-    ts = jnp.stack([t, -t, t, -t], axis=-2)
-    return qs, ts
+def _sampson_tab(E9, tab):
+    """Squared Sampson error over pair tables.
+
+    E9 (P, 9); tab = (x1, y1, z1, x2, y2, z2) each (P, cap)."""
+    e = [E9[:, k:k + 1] for k in range(9)]
+    x1, y1, z1, x2, y2, z2 = tab
+    iz1 = 1.0 / (z1 + 1e-12)
+    iz2 = 1.0 / (z2 + 1e-12)
+    a0, a1 = x1 * iz1, y1 * iz1
+    b0, b1 = x2 * iz2, y2 * iz2
+    Ex0 = e[0] * a0 + e[1] * a1 + e[2]
+    Ex1 = e[3] * a0 + e[4] * a1 + e[5]
+    Ex2 = e[6] * a0 + e[7] * a1 + e[8]
+    Et0 = e[0] * b0 + e[3] * b1 + e[6]
+    Et1 = e[1] * b0 + e[4] * b1 + e[7]
+    C = Ex0 * b0 + Ex1 * b1 + Ex2
+    denom = Ex0 * Ex0 + Ex1 * Ex1 + Et0 * Et0 + Et1 * Et1
+    return C * C / jnp.maximum(denom, 1e-12)
 
 
-@partial(jax.jit, static_argnames=("num_pairs", "hyp_per_round", "rounds"))
-def _ransac_essential(key, ray1, ray2, ray1T, ray2T, match_pair,
-                      match_valid, offsets, counts, sq_thres_pair,
-                      num_pairs: int, hyp_per_round: int, rounds: int):
-    """Returns (best_E (P,3,3), best_count (P,)).
-
-    Scoring runs in lane-major layout (match axis trailing): per-match
-    (3, 3) tensors tile-pad ~50x on TPU and OOM at city-scale match
-    counts, so the per-hypothesis E is gathered as (9, M) rows instead.
-    """
-    dtype = ray1.dtype
-    sq_thres_m = sq_thres_pair[match_pair]
-
-    def one_round(carry, rkey):
-        best_E, best_cnt = carry
-        # sample (P, H, 8) match indices within each pair's range
-        u = jax.random.randint(rkey, (num_pairs, hyp_per_round, 8), 0,
-                               jnp.int32(2 ** 30))
-        idx = offsets[:, None, None] + u % jnp.maximum(counts, 1)[:, None,
-                                                                  None]
-        r1 = ray1[idx]  # (P, H, 8, 3)
-        r2 = ray2[idx]
-        E = _essential_candidates(r1, r2)  # (P, H, 3, 3)
-
-        # score every hypothesis against all its pair's matches
-        def score_h(h):
-            E9T = E[:, h].reshape(num_pairs, 9).T  # (9, P)
-            E9_m = E9T[:, match_pair]  # (9, M) lane-major gather
-            err = tv.sampson_error_sq_rows(E9_m, ray1T, ray2T)
-            inl = (err < sq_thres_m) & match_valid
-            return jax.ops.segment_sum(inl.astype(jnp.int32), match_pair,
-                                       num_segments=num_pairs)
-
-        # sequential over hypotheses keeps peak memory at O(M)
-        cnts = jax.lax.map(score_h, jnp.arange(hyp_per_round))  # (H, P)
-        h_best = jnp.argmax(cnts, axis=0)  # (P,)
-        cnt_best = jnp.take_along_axis(cnts, h_best[None], axis=0)[0]
-        E_best = E[jnp.arange(num_pairs), h_best]
-        improve = cnt_best > best_cnt
-        best_E = jnp.where(improve[:, None, None], E_best, best_E)
-        best_cnt = jnp.where(improve, cnt_best, best_cnt)
-        return (best_E, best_cnt), None
-
-    keys = jax.random.split(key, rounds)
-    init = (jnp.zeros((num_pairs, 3, 3), dtype),
-            jnp.zeros((num_pairs,), jnp.int32))
-    (best_E, best_cnt), _ = jax.lax.scan(one_round, init, keys)
-    return best_E, best_cnt
+def _cheirality_tab(R9, t3, tab, min_depth=1e-2, max_depth=100.0):
+    """PoseLib cheirality over tables; R9 (P, 9), t3 (P, 3)."""
+    r = [R9[:, k:k + 1] for k in range(9)]
+    t = [t3[:, k:k + 1] for k in range(3)]
+    x1, y1, z1, x2, y2, z2 = tab
+    Rx0 = r[0] * x1 + r[1] * y1 + r[2] * z1
+    Rx1 = r[3] * x1 + r[4] * y1 + r[5] * z1
+    Rx2 = r[6] * x1 + r[7] * y1 + r[8] * z1
+    a = -(Rx0 * x2 + Rx1 * y2 + Rx2 * z2)
+    b1 = -(Rx0 * t[0] + Rx1 * t[1] + Rx2 * t[2])
+    b2 = x2 * t[0] + y2 * t[1] + z2 * t[2]
+    lam1 = b1 - a * b2
+    lam2 = -a * b1 + b2
+    scale = 1.0 - a * a
+    lo = min_depth * scale
+    hi = max_depth * scale
+    return (lam1 > lo) & (lam2 > lo) & (lam1 < hi) & (lam2 < hi)
 
 
 def _cheirality_rows(R9_m, tT_m, x1T, x2T, min_depth=1e-2, max_depth=100.0):
-    """check_cheirality in lane-major layout: R9_m (9, M) rotation rows,
-    tT_m (3, M) translations, rays (3, M)."""
+    """check_cheirality in lane-major flat layout (used by pair_inliers):
+    R9_m (9, M), tT_m (3, M), rays (3, M)."""
     Rx0 = R9_m[0] * x1T[0] + R9_m[1] * x1T[1] + R9_m[2] * x1T[2]
     Rx1 = R9_m[3] * x1T[0] + R9_m[4] * x1T[1] + R9_m[5] * x1T[2]
     Rx2 = R9_m[6] * x1T[0] + R9_m[7] * x1T[1] + R9_m[8] * x1T[2]
@@ -143,31 +106,101 @@ def _cheirality_rows(R9_m, tT_m, x1T, x2T, min_depth=1e-2, max_depth=100.0):
     return (lam1 > lo) & (lam2 > lo) & (lam1 < hi) & (lam2 < hi)
 
 
-@partial(jax.jit, static_argnames=("num_pairs",))
-def _choose_pose(best_E, ray1T, ray2T, match_pair, match_valid,
-                 num_pairs: int):
-    """Decompose E and pick the candidate with the best cheirality vote
-    (lane-major sweep per candidate)."""
+def _decompose_E(E):
+    """E -> 4 candidate (quat, t), t unit (standard U W V^T recipe)."""
+    U, V = sa.essential_basis(E)
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+                    dtype=E.dtype)
+    Vt = jnp.swapaxes(V, -1, -2)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    # keep rotations proper
+    R1 = R1 * jnp.sign(jnp.linalg.det(R1))[..., None, None]
+    R2 = R2 * jnp.sign(jnp.linalg.det(R2))[..., None, None]
+    t = U[..., :, 2]
+    qs = jnp.stack([rotm.rotmat_to_quat(R1), rotm.rotmat_to_quat(R1),
+                    rotm.rotmat_to_quat(R2), rotm.rotmat_to_quat(R2)],
+                   axis=-2)
+    ts = jnp.stack([t, -t, t, -t], axis=-2)
+    return qs, ts
+
+
+# ---------------------------------------------------------------------------
+# RANSAC over tables
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("hyp_per_round", "rounds"))
+def _ransac_essential_tab(key, tab, mask, counts, sq_thres,
+                          hyp_per_round: int, rounds: int):
+    """tab: 6 x (P, cap) ray components; mask (P, cap); counts (P,).
+    Returns (best_E (P, 3, 3), best_count (P,))."""
+    x1, y1, z1, x2, y2, z2 = tab
+    P = x1.shape[0]
+    dtype = x1.dtype
+    thr = sq_thres[:, None]
+
+    def one_round(carry, rkey):
+        best_E, best_cnt = carry
+        u = jax.random.randint(rkey, (P, hyp_per_round * 8), 0,
+                               jnp.int32(2 ** 30))
+        idx = u % jnp.maximum(counts, 1)[:, None].astype(jnp.int32)
+
+        def take(c):
+            return jnp.take_along_axis(c, idx, axis=1).reshape(
+                P, hyp_per_round, 8)
+
+        s1x, s1y, s1z = take(x1), take(y1), take(z1)
+        s2x, s2y, s2z = take(x2), take(y2), take(z2)
+        # epipolar constraint rows: kron(x1, x2)
+        r1 = jnp.stack([s1x, s1y, s1z], axis=-1)  # (P, H, 8, 3)
+        r2 = jnp.stack([s2x, s2y, s2z], axis=-1)
+        A = (r2[..., :, :, None] * r1[..., :, None, :]).reshape(
+            P, hyp_per_round, 8, 9)
+        AtA = jnp.einsum("phki,phkj->phij", A, A)
+        e = sa.min_eigvec9(AtA)  # (P, H, 9)
+        E = sa.essential_project(e.reshape(P, hyp_per_round, 3, 3))
+        E9 = E.reshape(P, hyp_per_round, 9)
+
+        def score_h(h):
+            err = _sampson_tab(E9[:, h], tab)
+            return jnp.sum((err < thr) & mask, axis=1).astype(jnp.int32)
+
+        cnts = jax.lax.map(score_h, jnp.arange(hyp_per_round))  # (H, P)
+        h_best = jnp.argmax(cnts, axis=0)
+        cnt_best = jnp.take_along_axis(cnts, h_best[None], axis=0)[0]
+        E_best = E[jnp.arange(P), h_best]
+        improve = cnt_best > best_cnt
+        best_E = jnp.where(improve[:, None, None], E_best, best_E)
+        best_cnt = jnp.where(improve, cnt_best, best_cnt)
+        return (best_E, best_cnt), None
+
+    keys = jax.random.split(key, rounds)
+    init = (jnp.zeros((P, 3, 3), dtype), jnp.zeros((P,), jnp.int32))
+    (best_E, best_cnt), _ = jax.lax.scan(one_round, init, keys)
+    return best_E, best_cnt
+
+
+@jax.jit
+def _choose_pose_tab(best_E, tab, mask):
+    """Decompose E; cheirality vote over the tables."""
     qs, ts = _decompose_E(best_E)  # (P, 4, 4), (P, 4, 3)
 
     def votes(k):
-        R9T = rotm.quat_to_rotmat(qs[:, k]).reshape(num_pairs, 9).T
-        tT = ts[:, k].T  # (3, P)
-        ch = _cheirality_rows(R9T[:, match_pair], tT[:, match_pair],
-                              ray1T, ray2T) & match_valid
-        return jax.ops.segment_sum(ch.astype(jnp.int32), match_pair,
-                                   num_segments=num_pairs)
+        R9 = rotm.quat_to_rotmat(qs[:, k]).reshape(-1, 9)
+        ch = _cheirality_tab(R9, ts[:, k], tab) & mask
+        return jnp.sum(ch, axis=1).astype(jnp.int32)
 
     v = jax.lax.map(votes, jnp.arange(4))  # (4, P)
     k_best = jnp.argmax(v, axis=0)
-    q = qs[jnp.arange(num_pairs), k_best]
-    t = ts[jnp.arange(num_pairs), k_best]
+    P = best_E.shape[0]
+    q = qs[jnp.arange(P), k_best]
+    t = ts[jnp.arange(P), k_best]
     return rotm.quat_normalize(q), t
 
 
 def _tangent_basis(t):
     """(..., 3) unit vectors -> two orthonormal tangent vectors."""
-    # pick the axis least aligned with t
     a = jnp.where(jnp.abs(t[..., :1]) < 0.9,
                   jnp.asarray([1.0, 0.0, 0.0], t.dtype),
                   jnp.asarray([0.0, 1.0, 0.0], t.dtype))
@@ -177,20 +210,17 @@ def _tangent_basis(t):
     return b1, b2
 
 
-@partial(jax.jit, static_argnames=("num_pairs", "num_iters"))
-def _refine_poses(q0, t0, ray1T, ray2T, match_pair, match_valid,
-                  sq_thres_pair, num_pairs: int, num_iters: int):
-    """Batched LM on (rotation tangent, translation sphere) per pair,
-    minimizing truncated squared Sampson error (the LO step of LO-RANSAC).
+@partial(jax.jit, static_argnames=("num_iters",))
+def _refine_poses_tab(q0, t0, tab, mask, sq_thres, num_iters: int):
+    """Batched LM (LO step) on the pair tables; truncated squared Sampson.
 
-    Lane-major throughout: the per-match Jacobian J (5, M) comes from the
-    chain rule dr/dz = (dr/dE9) (dE9/dz) where dE9/dz is a tiny per-pair
-    (9, 5) tensor (jacfwd over pairs) and each dr/dz_k is one jvp of the
-    rows-form Sampson sweep.
-    """
+    Jacobians via the per-pair dE9/dz chain rule: dE9/dz is a tiny (9, 5)
+    per-pair tensor (jacfwd over pairs); each dr/dz_k is one jvp of the
+    table Sampson sweep. Normal equations by trailing-axis reduction."""
     dtype = t0.dtype
-    sq_thres_m = sq_thres_pair[match_pair]
-    valid_f = match_valid.astype(dtype)
+    P = t0.shape[0]
+    thr = sq_thres[:, None]
+    maskf = mask.astype(dtype)
 
     def E9_of(q, t, b1, b2, z):
         q2 = rotm.quat_mul(q, rotm.so3_exp_quat(z[0:3]))
@@ -199,43 +229,33 @@ def _refine_poses(q0, t0, ray1T, ray2T, match_pair, match_valid,
         return tv.essential_from_motion(q2, t2).reshape(9)
 
     def cost_of(q, t):
-        E9T = jax.vmap(lambda qq, tt: tv.essential_from_motion(
-            qq, tt).reshape(9))(q, t).T  # (9, P)
-        err = tv.sampson_error_sq_rows(E9T[:, match_pair], ray1T, ray2T)
-        capped = jnp.minimum(err, sq_thres_m) * valid_f
-        return jax.ops.segment_sum(capped, match_pair,
-                                   num_segments=num_pairs)
+        E9 = jax.vmap(lambda qq, tt: tv.essential_from_motion(
+            qq, tt).reshape(9))(q, t)
+        err = _sampson_tab(E9, tab)
+        return jnp.sum(jnp.minimum(err, thr) * maskf, axis=1)
 
     def lm_step(state, _):
         q, t, lam, cost = state
         b1, b2 = _tangent_basis(t)
-        z0 = jnp.zeros((num_pairs, 5), dtype)
-        # per-pair E9 and dE9/dz (P, 9, 5) — tiny
+        z0 = jnp.zeros((P, 5), dtype)
         E9 = jax.vmap(E9_of)(q, t, b1, b2, z0)  # (P, 9)
         dE9 = jax.vmap(jax.jacfwd(E9_of, argnums=4))(q, t, b1, b2, z0)
-        E9_m = E9.T[:, match_pair]  # (9, M)
 
-        r2 = tv.sampson_error_sq_rows(E9_m, ray1T, ray2T)
+        sampson = lambda e: _sampson_tab(e, tab)
+        r2 = sampson(E9)
         r = jnp.sqrt(jnp.maximum(r2, 1e-18))
-        inl = (r2 < sq_thres_m) & match_valid
-        w = inl.astype(dtype)
+        w = ((r2 < thr) & mask).astype(dtype)
 
-        sampson = lambda e: tv.sampson_error_sq_rows(e, ray1T, ray2T)
         Jrows = []
         for k in range(5):
-            tang = dE9[:, :, k].T[:, match_pair]  # (9, M)
-            _, dr2 = jax.jvp(sampson, (E9_m,), (tang,))
-            Jrows.append(dr2 / (2.0 * r))  # d sqrt(r2) / dz_k
-        # per-pair normal equations from (5, M) rows
-        H = jnp.zeros((num_pairs, 5, 5), dtype)
-        g = jnp.zeros((num_pairs, 5), dtype)
+            _, dr2 = jax.jvp(sampson, (E9,), (dE9[:, :, k],))
+            Jrows.append(dr2 / (2.0 * r))  # (P, cap)
+        H = jnp.zeros((P, 5, 5), dtype)
+        g = jnp.zeros((P, 5), dtype)
         for a in range(5):
-            g = g.at[:, a].set(jax.ops.segment_sum(
-                w * r * Jrows[a], match_pair, num_segments=num_pairs))
+            g = g.at[:, a].set(jnp.sum(w * r * Jrows[a], axis=1))
             for b in range(a, 5):
-                hab = jax.ops.segment_sum(w * Jrows[a] * Jrows[b],
-                                          match_pair,
-                                          num_segments=num_pairs)
+                hab = jnp.sum(w * Jrows[a] * Jrows[b], axis=1)
                 H = H.at[:, a, b].set(hab)
                 if b != a:
                     H = H.at[:, b, a].set(hab)
@@ -247,8 +267,8 @@ def _refine_poses(q0, t0, ray1T, ray2T, match_pair, match_valid,
         q_new = rotm.quat_normalize(
             rotm.quat_mul(q, rotm.so3_exp_quat(dz[:, 0:3])))
         t_new = t + dz[:, 3:4] * b1 + dz[:, 4:5] * b2
-        t_new = t_new / jnp.maximum(jnp.linalg.norm(t_new, axis=-1,
-                                                    keepdims=True), 1e-12)
+        t_new = t_new / jnp.maximum(
+            jnp.linalg.norm(t_new, axis=-1, keepdims=True), 1e-12)
         new_cost = cost_of(q_new, t_new)
         accept = new_cost < cost
         q = jnp.where(accept[:, None], q_new, q)
@@ -258,7 +278,7 @@ def _refine_poses(q0, t0, ray1T, ray2T, match_pair, match_valid,
                         jnp.minimum(lam * 4.0, 1e6))
         return (q, t, lam, cost), None
 
-    state = (q0, t0, jnp.full((num_pairs,), 1e-3, dtype), cost_of(q0, t0))
+    state = (q0, t0, jnp.full((P,), 1e-3, dtype), cost_of(q0, t0))
     (q, t, _, _), _ = jax.lax.scan(lm_step, state, None, length=num_iters)
     return q, t
 
@@ -273,18 +293,36 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     dtype = dtype or solver_dtype()
     if vg.num_pairs == 0:
         return
-    kp1 = scene.kp_offset[vg.pair_i[vg.match_pair]] + vg.match_f1
-    kp2 = scene.kp_offset[vg.pair_j[vg.match_pair]] + vg.match_f2
-    ray1 = jnp.asarray(scene.kp_ray[kp1], dtype=dtype)
-    ray2 = jnp.asarray(scene.kp_ray[kp2], dtype=dtype)
-    ray1T = jnp.asarray(np.ascontiguousarray(scene.kp_ray[kp1].T),
-                        dtype=dtype)
-    ray2T = jnp.asarray(np.ascontiguousarray(scene.kp_ray[kp2].T),
-                        dtype=dtype)
-    match_pair = jnp.asarray(vg.match_pair)
-    match_valid = jnp.asarray(vg.pair_valid[vg.match_pair])
-    offsets = jnp.asarray(vg.pair_match_offset[:-1].astype(np.int64))
-    counts = jnp.asarray(np.diff(vg.pair_match_offset).astype(np.int64))
+
+    # ---- pack a bounded random subsample per pair into (P, cap) tables
+    rng_np = np.random.default_rng(seed)
+    P = vg.num_pairs
+    cap = max(int(getattr(opts, "score_match_cap", 512) or 512), 16)
+    total = np.diff(vg.pair_match_offset)
+    counts = np.minimum(total, cap).astype(np.int32)
+    keys = rng_np.random(vg.num_matches)
+    order = np.lexsort((keys, vg.match_pair))
+    ranks = np.empty(vg.num_matches, dtype=np.int64)
+    ranks[order] = np.arange(vg.num_matches) - \
+        vg.pair_match_offset[vg.match_pair[order]]
+    sub = ranks < cap
+    mp_s = vg.match_pair[sub]
+    rank_s = ranks[sub]
+    kp1 = scene.kp_offset[vg.pair_i[mp_s]] + vg.match_f1[sub]
+    kp2 = scene.kp_offset[vg.pair_j[mp_s]] + vg.match_f2[sub]
+
+    tabs = np.zeros((6, P, cap))
+    tabs[0:3, mp_s, rank_s] = scene.kp_ray[kp1].T
+    tabs[3:6, mp_s, rank_s] = scene.kp_ray[kp2].T
+    mask_np = np.zeros((P, cap), dtype=bool)
+    mask_np[mp_s, rank_s] = vg.pair_valid[mp_s]
+    # keep padded ray z at 1 to avoid div blowups
+    tabs[2][~mask_np] = 1.0
+    tabs[5][~mask_np] = 1.0
+
+    tab = tuple(jnp.asarray(tabs[k], dtype=dtype) for k in range(6))
+    mask = jnp.asarray(mask_np)
+    counts_d = jnp.asarray(counts)
 
     # normalized Sampson threshold per pair (same conversion as inlier
     # scoring: px * 0.5 * (1/f1 + 1/f2))
@@ -294,16 +332,14 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     thres = opts.max_epipolar_error * 0.5 * (1.0 / f1 + 1.0 / f2)
     sq_thres = jnp.asarray(thres * thres, dtype=dtype)
 
-    P = vg.num_pairs
     hyp_per_round = 64
     rounds = max(1, min(opts.num_hypotheses, 4096) // hyp_per_round)
     key = jax.random.PRNGKey(seed)
-    best_E, best_cnt = _ransac_essential(
-        key, ray1, ray2, ray1T, ray2T, match_pair, match_valid, offsets,
-        counts, sq_thres, P, hyp_per_round, rounds)
-    q, t = _choose_pose(best_E, ray1T, ray2T, match_pair, match_valid, P)
-    q, t = _refine_poses(q, t, ray1T, ray2T, match_pair, match_valid,
-                         sq_thres, P, opts.refine_num_lm_iters)
+    best_E, best_cnt = _ransac_essential_tab(key, tab, mask, counts_d,
+                                             sq_thres, hyp_per_round, rounds)
+    q, t = _choose_pose_tab(best_E, tab, mask)
+    q, t = _refine_poses_tab(q, t, tab, mask, sq_thres,
+                             opts.refine_num_lm_iters)
 
     vg.pair_quat = np.array(q, dtype=np.float64, copy=True)
     vg.pair_trans = np.array(t, dtype=np.float64, copy=True)

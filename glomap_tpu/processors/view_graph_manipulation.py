@@ -75,7 +75,7 @@ def decompose_rel_pose(scene: Scene, vg: ViewGraph,
     Returns the number of pure-rotation pairs detected."""
     if vg.num_pairs == 0:
         return 0
-    from glomap_tpu.estimators.relpose import _choose_pose
+    from glomap_tpu.estimators.relpose import _choose_pose_tab
     from glomap_tpu.processors.undistortion import undistort_images
 
     prior = scene.cam_has_prior_focal
@@ -90,17 +90,30 @@ def decompose_rel_pose(scene: Scene, vg: ViewGraph,
     if not scene.kp_ray.any():
         undistort_images(scene)
 
-    import numpy as _np
-    kp1 = scene.kp_offset[vg.pair_i[vg.match_pair]] + vg.match_f1
-    kp2 = scene.kp_offset[vg.pair_j[vg.match_pair]] + vg.match_f2
-    q, t = _choose_pose(jnp.asarray(vg.pair_E),
-                        jnp.asarray(_np.ascontiguousarray(
-                            scene.kp_ray[kp1].T)),
-                        jnp.asarray(_np.ascontiguousarray(
-                            scene.kp_ray[kp2].T)),
-                        jnp.asarray(vg.match_pair),
-                        jnp.asarray(use[vg.match_pair] & vg.match_inlier),
-                        vg.num_pairs)
+    # pack bounded per-pair tables (same layout as the RANSAC scorer)
+    P = vg.num_pairs
+    cap = 512
+    rng_np = np.random.default_rng(0)
+    keys = rng_np.random(vg.num_matches)
+    order = np.lexsort((keys, vg.match_pair))
+    ranks = np.empty(vg.num_matches, dtype=np.int64)
+    ranks[order] = np.arange(vg.num_matches) - \
+        vg.pair_match_offset[vg.match_pair[order]]
+    sel = ranks < cap
+    mp_s = vg.match_pair[sel]
+    rank_s = ranks[sel]
+    kp1 = scene.kp_offset[vg.pair_i[mp_s]] + vg.match_f1[sel]
+    kp2 = scene.kp_offset[vg.pair_j[mp_s]] + vg.match_f2[sel]
+    tabs = np.zeros((6, P, cap))
+    tabs[0:3, mp_s, rank_s] = scene.kp_ray[kp1].T
+    tabs[3:6, mp_s, rank_s] = scene.kp_ray[kp2].T
+    mask_np = np.zeros((P, cap), dtype=bool)
+    mask_np[mp_s, rank_s] = (use[mp_s] & vg.match_inlier[sel])
+    tabs[2][~mask_np] = 1.0
+    tabs[5][~mask_np] = 1.0
+    tab = tuple(jnp.asarray(tabs[k]) for k in range(6))
+    q, t = _choose_pose_tab(jnp.asarray(vg.pair_E), tab,
+                            jnp.asarray(mask_np))
     q = np.asarray(q)
     t = np.asarray(t)
     tn = np.linalg.norm(t, axis=-1)
