@@ -311,16 +311,31 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     kp1 = scene.kp_offset[vg.pair_i[mp_s]] + vg.match_f1[sub]
     kp2 = scene.kp_offset[vg.pair_j[mp_s]] + vg.match_f2[sub]
 
-    tabs = np.zeros((6, P, cap))
-    tabs[0:3, mp_s, rank_s] = scene.kp_ray[kp1].T
-    tabs[3:6, mp_s, rank_s] = scene.kp_ray[kp2].T
+    # ship only (P, cap) int32 keypoint-index tables; the rays stay
+    # device-resident and the tables are gathered on device
+    idx1 = np.zeros((P, cap), dtype=np.int32)
+    idx2 = np.zeros((P, cap), dtype=np.int32)
+    idx1[mp_s, rank_s] = kp1
+    idx2[mp_s, rank_s] = kp2
     mask_np = np.zeros((P, cap), dtype=bool)
     mask_np[mp_s, rank_s] = vg.pair_valid[mp_s]
-    # keep padded ray z at 1 to avoid div blowups
-    tabs[2][~mask_np] = 1.0
-    tabs[5][~mask_np] = 1.0
 
-    tab = tuple(jnp.asarray(tabs[k], dtype=dtype) for k in range(6))
+    from glomap_tpu.processors.undistortion import device_keypoints
+    kp_rayT, _ = device_keypoints(scene)
+
+    @jax.jit
+    def build_tab(kp_rayT, idx1, idx2, mask):
+        comps = []
+        for idx in (idx1, idx2):
+            for k in range(3):
+                c = kp_rayT[k][idx.reshape(-1)].reshape(idx.shape)
+                if k == 2:  # padded z stays 1 to avoid div blowups
+                    c = jnp.where(mask, c, 1.0)
+                comps.append(c.astype(dtype))
+        return tuple(comps)
+
+    tab = build_tab(kp_rayT, jnp.asarray(idx1), jnp.asarray(idx2),
+                    jnp.asarray(mask_np))
     mask = jnp.asarray(mask_np)
     counts_d = jnp.asarray(counts)
 
@@ -332,14 +347,26 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     thres = opts.max_epipolar_error * 0.5 * (1.0 / f1 + 1.0 / f2)
     sq_thres = jnp.asarray(thres * thres, dtype=dtype)
 
+    import logging
+    import time as _time
+    _log = logging.getLogger(__name__)
     hyp_per_round = 64
     rounds = max(1, min(opts.num_hypotheses, 4096) // hyp_per_round)
     key = jax.random.PRNGKey(seed)
+    _t0 = _time.time()
     best_E, best_cnt = _ransac_essential_tab(key, tab, mask, counts_d,
                                              sq_thres, hyp_per_round, rounds)
+    best_E.block_until_ready()
+    _t1 = _time.time()
     q, t = _choose_pose_tab(best_E, tab, mask)
+    t.block_until_ready()
+    _t2 = _time.time()
     q, t = _refine_poses_tab(q, t, tab, mask, sq_thres,
                              opts.refine_num_lm_iters)
+    t.block_until_ready()
+    _log.info("relpose: ransac %.1fs (%d rounds x %d hyp), choose %.1fs, "
+              "refine %.1fs", _t1 - _t0, rounds, hyp_per_round,
+              _t2 - _t1, _time.time() - _t2)
 
     vg.pair_quat = np.array(q, dtype=np.float64, copy=True)
     vg.pair_trans = np.array(t, dtype=np.float64, copy=True)

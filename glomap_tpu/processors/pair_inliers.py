@@ -46,11 +46,20 @@ def _score_matches(num_pairs,
                    # per-pair arrays
                    config, pair_q, pair_t, pair_F, pair_H, pair_valid,
                    focal1, focal2,
-                   # per-match arrays, lane-major (k, M)
-                   mp, ray1T, ray2T, px1T, px2T,
+                   # device-resident keypoints (lane-major) + indices
+                   mp, kp_rayT, kp_xyT, kp1, kp2,
                    # thresholds
                    thres_E, thres_F, thres_H):
-    """Returns (match_inlier, pair_num_inliers, pair_score)."""
+    """Returns (match_inlier, pair_num_inliers, pair_score).
+
+    Keypoints stay device-resident (3/2, K); per-match data comes from
+    trailing-axis gathers by the (M,) index vectors — only ~8 bytes per
+    match cross the host->device tunnel instead of ~100."""
+    ray1T = kp_rayT[:, kp1]
+    ray2T = kp_rayT[:, kp2]
+    one_row = jnp.ones((1, kp1.shape[0]), kp_xyT.dtype)
+    px1T = jnp.concatenate([kp_xyT[:, kp1], one_row], axis=0)
+    px2T = jnp.concatenate([kp_xyT[:, kp2], one_row], axis=0)
     cfg_m = config[mp]
     valid_m = pair_valid[mp]
     one = jnp.ones_like(px1T[0])
@@ -145,15 +154,15 @@ def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
     opts = opts or InlierThresholds()
     if vg.num_matches == 0:
         return
-    kp1 = scene.kp_offset[vg.pair_i[vg.match_pair]] + vg.match_f1
-    kp2 = scene.kp_offset[vg.pair_j[vg.match_pair]] + vg.match_f2
+    from glomap_tpu.processors.undistortion import device_keypoints
+    kp_rayT, kp_xyT = device_keypoints(scene)
+    kp1 = (scene.kp_offset[vg.pair_i[vg.match_pair]] +
+           vg.match_f1).astype(np.int32)
+    kp2 = (scene.kp_offset[vg.pair_j[vg.match_pair]] +
+           vg.match_f2).astype(np.int32)
     from glomap_tpu.ops import camera_models as cm
     f1 = cm.mean_focal(scene.cam_params[scene.image_camera[vg.pair_i]])
     f2 = cm.mean_focal(scene.cam_params[scene.image_camera[vg.pair_j]])
-
-    def homogT(a):  # (M, 2) pixels -> (3, M) homogeneous rows
-        return np.ascontiguousarray(
-            np.concatenate([a, np.ones((len(a), 1))], axis=1).T)
 
     inlier, n_inl, score = _score_matches(
         vg.num_pairs,
@@ -161,11 +170,8 @@ def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
         jnp.asarray(vg.pair_trans), jnp.asarray(vg.pair_F),
         jnp.asarray(vg.pair_H), jnp.asarray(vg.pair_valid),
         jnp.asarray(np.asarray(f1)), jnp.asarray(np.asarray(f2)),
-        jnp.asarray(vg.match_pair),
-        jnp.asarray(np.ascontiguousarray(scene.kp_ray[kp1].T)),
-        jnp.asarray(np.ascontiguousarray(scene.kp_ray[kp2].T)),
-        jnp.asarray(homogT(scene.kp_xy[kp1])),
-        jnp.asarray(homogT(scene.kp_xy[kp2])),
+        jnp.asarray(vg.match_pair), kp_rayT, kp_xyT,
+        jnp.asarray(kp1), jnp.asarray(kp2),
         float(opts.max_epipolar_error_E), float(opts.max_epipolar_error_F),
         float(opts.max_epipolar_error_H))
 
