@@ -43,6 +43,33 @@ def test_sharded_ba_matches_single_device():
     assert c_err1.max() < 1e-3 and c_err8.max() < 1e-3
 
 
+def test_sharded_rotation_averaging_matches_single_device():
+    from glomap_tpu.parallel.sharded_ra import solve_rotations_sharded
+    from glomap_tpu.estimators.rotation_averaging import estimate_rotations
+    from tests.test_rotation_averaging import (pairwise_rotation_errors_deg,
+                                               _perturb_pairs)
+
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=20, num_points3D=200, seed=104))
+    rng = np.random.default_rng(2)
+    _perturb_pairs(vg, rng, noise_deg=1.0, outlier_ratio=0.10)
+    scene.frame_quat = np.tile([1.0, 0, 0, 0], (scene.num_frames, 1))
+    scene8 = scene.copy()
+
+    assert estimate_rotations(scene, vg)
+    mesh8 = meshmod.make_mesh(8)
+    assert solve_rotations_sharded(scene8, vg, mesh8)
+
+    errs1 = pairwise_rotation_errors_deg(scene.frame_quat, gt["frame_quat"])
+    errs8 = pairwise_rotation_errors_deg(scene8.frame_quat,
+                                         gt["frame_quat"])
+    # both meet the reference accuracy envelope
+    assert errs1.max() < 2.0 and errs8.max() < 2.0
+    # and the sharded solve reproduces the single-device estimate
+    rel = pairwise_rotation_errors_deg(scene.frame_quat, scene8.frame_quat)
+    assert rel.max() < 0.2
+
+
 def test_spectral_partitioner_balances_and_cuts():
     from glomap_tpu.parallel.partitioner import (assign_observations,
                                                  partition_frames)
