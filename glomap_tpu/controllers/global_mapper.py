@@ -74,11 +74,19 @@ class GlobalMapper:
         # 2. Relative pose estimation
         if not opt.skip_relative_pose_estimation:
             stage("relative pose estimation")
+            import time as _time
+            _t0 = _time.monotonic()
             undistort_images(scene)
+            _t1 = _time.monotonic()
             from glomap_tpu.estimators.relpose import estimate_relative_poses
             estimate_relative_poses(scene, view_graph, opt.opt_relpose)
+            _t2 = _time.monotonic()
             image_pairs_inlier_count(scene, view_graph,
                                      opt.inlier_thresholds)
+            _t3 = _time.monotonic()
+            logger.info("relpose substages: undistort %.1fs, "
+                        "estimate %.1fs, inlier-count %.1fs",
+                        _t1 - _t0, _t2 - _t1, _t3 - _t2)
             rpf.filter_inlier_num(view_graph,
                                   opt.inlier_thresholds.min_inlier_num)
             rpf.filter_inlier_ratio(view_graph,

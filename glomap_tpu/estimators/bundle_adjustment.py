@@ -389,9 +389,9 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
 
 def ba_fast_path_ok(scene: Scene) -> bool:
     """The Pallas closed-form kernel premise: every camera is a
-    distortion-free perspective model (PINHOLE family)."""
-    return bool(np.all(scene.cam_kind == 0) and
-                np.all(scene.cam_params[:, 4:16] == 0.0))
+    perspective model (kind 0 — any polynomial distortion: PINHOLE,
+    SIMPLE_RADIAL/RADIAL, OPENCV, FULL_OPENCV, thin-prism)."""
+    return bool(np.all(scene.cam_kind == 0))
 
 
 def solve_bundle_adjustment(scene: Scene, tracks: Tracks,

@@ -8,9 +8,10 @@ sweep with all intermediates resident in VMEM:
 
   * ba_resid_jac_pinhole — fused closed-form residual + Jacobian blocks
     (2x25 per observation: rotation tangent, translation, point,
-    intrinsics) for perspective cameras, the exact analytic counterpart
-    of the autodiff path in estimators/bundle_adjustment (used as the BA
-    fast path when every camera is distortion-free PINHOLE).
+    intrinsics) for perspective cameras with full polynomial distortion
+    (rational radial + tangential + thin prism), the exact analytic
+    counterpart of the autodiff path in estimators/bundle_adjustment
+    (used as the BA fast path whenever every camera is kind 0).
   * huber_weight_cost — fused robust-loss sweep r^2 -> (IRLS weight,
     cost) with per-block partial sums.
   * sampson_score — fused squared-Sampson epipolar error over match
@@ -43,22 +44,30 @@ def _cdiv(a, b):
 
 
 # ----------------------------------------------------------------------------
-# fused pinhole residual + Jacobian blocks
+# fused perspective residual + Jacobian blocks (full polynomial distortion)
 # ----------------------------------------------------------------------------
+# Covers every kind == 0 (perspective) camera: rational radial
+# (1 + k1 r2 + k2 r4 + k3 r6 + k4 r8) / (1 + d1 r2 + d2 r4 + d3 r6),
+# tangential p1/p2 and thin-prism sx1/sy1 — i.e. the SIMPLE_PINHOLE,
+# PINHOLE, SIMPLE_RADIAL, RADIAL, OPENCV, FULL_OPENCV and
+# THIN_PRISM_FISHEYE-style polynomial stages in ops/camera_models.distort,
+# with exact closed-form Jacobians (matches the autodiff path to ~1e-7).
+#
 # inputs (transposed, component-rows x observation-lanes):
 #   Mrow (9, O): M = R_s R_f           (world -> camera rotation)
 #   Srow (9, O): R_s                   (sensor rotation, for d/d t_f)
 #   brow (3, O): b = R_s t_f + t_s     (translation part)
 #   Xrow (3, O): point
 #   uvrow (2, O): observed pixel
-#   krow (4, O): fx, fy, cx, cy
+#   krow (15, O): canonical slots 0..14
+#                 [fx fy cx cy k1..k4 d1..d3 p1 p2 sx1 sy1]
 # outputs:
 #   r (2, O), J (50, O) = flattened (2, 25) per obs with column order
 #   [w(3), dt(3), dX(3), intr(16)] matching estimators/bundle_adjustment.
 
 
-def _pinhole_kernel(M_ref, S_ref, b_ref, X_ref, uv_ref, k_ref,
-                    r_ref, J_ref):
+def _perspective_kernel(M_ref, S_ref, b_ref, X_ref, uv_ref, k_ref,
+                        r_ref, J_ref):
     M = M_ref[...]
     S = S_ref[...]
     bt = b_ref[...]
@@ -69,28 +78,60 @@ def _pinhole_kernel(M_ref, S_ref, b_ref, X_ref, uv_ref, k_ref,
     X0, X1, X2 = X[0], X[1], X[2]
     # p = M X + b
     p0 = M[0] * X0 + M[1] * X1 + M[2] * X2 + bt[0]
-    p1 = M[3] * X0 + M[4] * X1 + M[5] * X2 + bt[1]
-    p2 = M[6] * X0 + M[7] * X1 + M[8] * X2 + bt[2]
+    p1c = M[3] * X0 + M[4] * X1 + M[5] * X2 + bt[1]
+    p2c = M[6] * X0 + M[7] * X1 + M[8] * X2 + bt[2]
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    k1, k2, k3, k4 = intr[4], intr[5], intr[6], intr[7]
+    d1, d2, d3 = intr[8], intr[9], intr[10]
+    tp1, tp2 = intr[11], intr[12]
+    sx1, sy1 = intr[13], intr[14]
 
-    z = jnp.where(jnp.abs(p2) < 1e-9, 1e-9, p2)
+    z = jnp.where(jnp.abs(p2c) < 1e-9, 1e-9, p2c)
     iz = 1.0 / z
-    xz = p0 * iz
-    yz = p1 * iz
+    x = p0 * iz
+    y = p1c * iz
 
-    r_ref[0, :] = fx * xz + cx - uv[0]
-    r_ref[1, :] = fy * yz + cy - uv[1]
+    # distortion (ops/camera_models.distort, kind-0 base)
+    r2 = x * x + y * y
+    r4 = r2 * r2
+    r6 = r4 * r2
+    num = 1.0 + k1 * r2 + k2 * r4 + k3 * r6 + k4 * r4 * r4
+    den = 1.0 + d1 * r2 + d2 * r4 + d3 * r6
+    iden = 1.0 / den
+    radial = num * iden
+    xy2 = 2.0 * x * y
+    du = x * radial + tp1 * xy2 + tp2 * (r2 + 2.0 * x * x) + sx1 * r2
+    dv = y * radial + tp2 * xy2 + tp1 * (r2 + 2.0 * y * y) + sy1 * r2
 
-    # A = d r / d p  (2x3): [[fx iz, 0, -fx xz iz], [0, fy iz, -fy yz iz]]
-    a00 = fx * iz
-    a02 = -fx * xz * iz
-    a11 = fy * iz
-    a12 = -fy * yz * iz
+    r_ref[0, :] = fx * du + cx - uv[0]
+    r_ref[1, :] = fy * dv + cy - uv[1]
 
-    def writeJ(col, d0, d1, d2):
-        """column `col` of the (2,25) Jacobian from dp/dtheta = (d0,d1,d2)."""
-        J_ref[col, :] = a00 * d0 + a02 * d2
-        J_ref[25 + col, :] = a11 * d1 + a12 * d2
+    # d radial / d r2 = (num' den - num den') / den^2
+    dnum = k1 + 2.0 * k2 * r2 + 3.0 * k3 * r4 + 4.0 * k4 * r6
+    dden = d1 + 2.0 * d2 * r2 + 3.0 * d3 * r4
+    drad = (dnum - radial * dden) * iden
+
+    # D = d (du, dv) / d (x, y)  (2x2 closed form)
+    Dxx = radial + 2.0 * x * x * drad + 2.0 * tp1 * y + 6.0 * tp2 * x \
+        + 2.0 * sx1 * x
+    Dxy = 2.0 * x * y * drad + 2.0 * tp1 * x + 2.0 * tp2 * y + 2.0 * sx1 * y
+    Dyx = 2.0 * x * y * drad + 2.0 * tp2 * y + 2.0 * tp1 * x + 2.0 * sy1 * x
+    Dyy = radial + 2.0 * y * y * drad + 2.0 * tp2 * x + 6.0 * tp1 * y \
+        + 2.0 * sy1 * y
+
+    # G = diag(fx, fy) D  then chain with P = d(x, y)/dp =
+    # [[iz, 0, -x iz], [0, iz, -y iz]]
+    g00 = fx * Dxx
+    g01 = fx * Dxy
+    g10 = fy * Dyx
+    g11 = fy * Dyy
+
+    def writeJ(col, e0, e1, e2):
+        """column `col` of the (2,25) Jacobian from dp/dtheta = (e0,e1,e2)."""
+        dx = iz * (e0 - x * e2)
+        dy = iz * (e1 - y * e2)
+        J_ref[col, :] = g00 * dx + g01 * dy
+        J_ref[25 + col, :] = g10 * dx + g11 * dy
 
     # d p / d t_f = R_s  (columns of S)
     writeJ(3, S[0], S[3], S[6])
@@ -98,12 +139,9 @@ def _pinhole_kernel(M_ref, S_ref, b_ref, X_ref, uv_ref, k_ref,
     writeJ(5, S[2], S[5], S[8])
 
     # d p / d X = M (columns)
-    m_c0 = (M[0], M[3], M[6])
-    m_c1 = (M[1], M[4], M[7])
-    m_c2 = (M[2], M[5], M[8])
-    writeJ(6, *m_c0)
-    writeJ(7, *m_c1)
-    writeJ(8, *m_c2)
+    writeJ(6, M[0], M[3], M[6])
+    writeJ(7, M[1], M[4], M[7])
+    writeJ(8, M[2], M[5], M[8])
 
     # d p / d w: Exp(w) X ~ X - [X]_x w  =>  dp/dw = -M [X]_x, columns:
     #   col0 = M @ (0, -X2, X1); col1 = M @ (X2, 0, -X0);
@@ -119,50 +157,48 @@ def _pinhole_kernel(M_ref, S_ref, b_ref, X_ref, uv_ref, k_ref,
     writeJ(2, *mcol(-X1, X0, zero))
 
     # intrinsics (canonical slots s -> column 9+s):
-    #   fx (0): (xz, 0); fy (1): (0, yz); cx (2): (1, 0); cy (3): (0, 1);
-    # distortion derivatives at ZERO coefficients (the fast-path premise):
-    #   k1..k4 (4..7):  +(fx xz, fy yz) * rr^{1,2,3,4}
-    #   d1..d3 (8..10): -(fx xz, fy yz) * rr^{1,2,3}
-    #   p1 (11): (fx 2 xz yz, fy (rr + 2 yz^2))
-    #   p2 (12): (fx (rr + 2 xz^2), fy 2 xz yz)
-    #   sx1 (13): (fx rr, 0); sy1 (14): (0, fy rr); omega (15): 0.
+    #   fx (0): (du, 0); fy (1): (0, dv); cx (2): (1, 0); cy (3): (0, 1);
+    #   k_s (4..7):  d radial / d k_s = r2^{s+1} / den
+    #   d_s (8..10): d radial / d d_s = -radial r2^{s+1} / den
+    #   p1 (11): (fx 2 x y, fy (r2 + 2 y^2))
+    #   p2 (12): (fx (r2 + 2 x^2), fy 2 x y)
+    #   sx1 (13): (fx r2, 0); sy1 (14): (0, fy r2); omega (15): 0
     one = jnp.ones_like(X0)
-    rr = xz * xz + yz * yz
-    J_ref[9, :] = xz
+    J_ref[9, :] = du
     J_ref[25 + 9, :] = zero
     J_ref[10, :] = zero
-    J_ref[25 + 10, :] = yz
+    J_ref[25 + 10, :] = dv
     J_ref[11, :] = one
     J_ref[25 + 11, :] = zero
     J_ref[12, :] = zero
     J_ref[25 + 12, :] = one
-    fxu = fx * xz
-    fyv = fy * yz
+    fxu = fx * x * iden
+    fyv = fy * y * iden
     rp = one
     for s in range(4):  # k1..k4
-        rp = rp * rr
+        rp = rp * r2
         J_ref[13 + s, :] = fxu * rp
         J_ref[25 + 13 + s, :] = fyv * rp
     rp = one
     for s in range(3):  # d1..d3
-        rp = rp * rr
-        J_ref[17 + s, :] = -fxu * rp
-        J_ref[25 + 17 + s, :] = -fyv * rp
-    J_ref[20, :] = fx * 2.0 * xz * yz
-    J_ref[25 + 20, :] = fy * (rr + 2.0 * yz * yz)
-    J_ref[21, :] = fx * (rr + 2.0 * xz * xz)
-    J_ref[25 + 21, :] = fy * 2.0 * xz * yz
-    J_ref[22, :] = fx * rr
+        rp = rp * r2
+        J_ref[17 + s, :] = -fxu * radial * rp
+        J_ref[25 + 17 + s, :] = -fyv * radial * rp
+    J_ref[20, :] = fx * xy2
+    J_ref[25 + 20, :] = fy * (r2 + 2.0 * y * y)
+    J_ref[21, :] = fx * (r2 + 2.0 * x * x)
+    J_ref[25 + 21, :] = fy * xy2
+    J_ref[22, :] = fx * r2
     J_ref[25 + 22, :] = zero
     J_ref[23, :] = zero
-    J_ref[25 + 23, :] = fy * rr
+    J_ref[25 + 23, :] = fy * r2
     J_ref[24, :] = zero
     J_ref[25 + 24, :] = zero
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def pinhole_resid_jac(Mrow, Srow, brow, Xrow, uvrow, krow,
-                      interpret: bool = False):
+def perspective_resid_jac(Mrow, Srow, brow, Xrow, uvrow, krow,
+                          interpret: bool = False):
     """Transposed inputs (k, O) -> (r (2, O), J (50, O))."""
     O = Mrow.shape[1]
     dtype = Mrow.dtype
@@ -174,9 +210,9 @@ def pinhole_resid_jac(Mrow, Srow, brow, Xrow, uvrow, krow,
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        _pinhole_kernel,
+        _perspective_kernel,
         grid=grid,
-        in_specs=[spec(9), spec(9), spec(3), spec(3), spec(2), spec(4)],
+        in_specs=[spec(9), spec(9), spec(3), spec(3), spec(2), spec(15)],
         out_specs=[spec(2), spec(50)],
         out_shape=[jax.ShapeDtypeStruct((2, O), dtype),
                    jax.ShapeDtypeStruct((50, O), dtype)],
@@ -189,7 +225,7 @@ def ba_resid_jac_pinhole(fq, ft, sq, st, cpar, X, uv,
     """Gathered per-obs arrays (O, k) -> (r (O, 2), J (O, 2, 25)).
 
     Drop-in replacement for the vmapped-jacfwd `_resid_and_jac_v` when all
-    cameras are distortion-free perspective (PINHOLE family). The
+    cameras are perspective (kind 0) — any polynomial distortion. The
     quat->rotmat precompute and the final transposes stay in XLA (cheap,
     fusable); the heavy fused sweep is the Pallas kernel.
     """
@@ -209,14 +245,11 @@ def ba_resid_jac_pinhole(fq, ft, sq, st, cpar, X, uv,
             a2 = jnp.pad(a2, ((0, 0), (0, pad)))
         return a2
 
-    r_t, J_t = pinhole_resid_jac(
+    r_t, J_t = perspective_resid_jac(
         T(M, 9), T(Rs, 9), T(b, 3), T(X, 3), T(uv, 2),
-        T(cpar[:, 0:4], 4), interpret=interpret)
+        T(cpar[:, 0:15], 15), interpret=interpret)
     r = r_t[:, :O].T
-    J = J_t[:, :O].T.reshape(O, 2, 25)[:, :, :]
-    # rows were packed as (col, then col+25) -> reshape to (O, 25, 2)?
-    # J_t layout: row index = col + 25*row_of_r; so reshape (2, 25) needs
-    # de-interleaving: J_t[(col, 25+col)] are (row0, row1) of column col.
+    # J_t layout: row index = col + 25*row_of_r; de-interleave to (O, 2, 25)
     Jf = J_t[:, :O].T  # (O, 50)
     J = jnp.stack([Jf[:, 0:25], Jf[:, 25:50]], axis=1)  # (O, 2, 25)
     return r, J

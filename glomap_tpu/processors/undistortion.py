@@ -29,14 +29,24 @@ def undistort_images(scene: Scene, num_iters: int = 25) -> None:
     the rays on device (scene cache, reused by inlier scoring / relpose)."""
     if scene.num_keypoints == 0:
         return
+    import logging
+    import time as _time
+    _t0 = _time.monotonic()
     counts = np.diff(scene.kp_offset)
     kp_cam = np.repeat(scene.image_camera, counts).astype(np.int32)
+    _t1 = _time.monotonic()
     rays = _rays_from_indices(jnp.asarray(scene.cam_params),
                               jnp.asarray(scene.cam_kind),
                               jnp.asarray(kp_cam),
                               jnp.asarray(scene.kp_xy))
+    rays.block_until_ready()
+    _t2 = _time.monotonic()
     scene.kp_ray = np.array(rays, dtype=np.float64, copy=True)
     cache_device_keypoints(scene, rays)
+    _t3 = _time.monotonic()
+    logging.getLogger(__name__).info(
+        "undistort: host %.1fs, device %.1fs, download+cache %.1fs",
+        _t1 - _t0, _t2 - _t1, _t3 - _t2)
 
 
 def cache_device_keypoints(scene: Scene, rays=None):

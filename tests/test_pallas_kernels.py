@@ -8,7 +8,7 @@ from glomap_tpu.math import two_view as tv
 from glomap_tpu.ops import pallas_kernels as pk
 
 
-def _random_pinhole_obs(n, seed=0):
+def _random_pinhole_obs(n, seed=0, distortion=False):
     rng = np.random.default_rng(seed)
     q = rng.standard_normal((n, 4))
     q /= np.linalg.norm(q, axis=-1, keepdims=True)
@@ -21,6 +21,12 @@ def _random_pinhole_obs(n, seed=0):
     cpar[:, 1] = 500 + rng.uniform(0, 50, n)
     cpar[:, 2] = 320
     cpar[:, 3] = 240
+    if distortion:
+        # realistic magnitudes: radial/rational + tangential + prism
+        cpar[:, 4:8] = 0.05 * rng.standard_normal((n, 4))    # k1..k4
+        cpar[:, 8:11] = 0.02 * rng.standard_normal((n, 3))   # d1..d3
+        cpar[:, 11:13] = 0.01 * rng.standard_normal((n, 2))  # p1, p2
+        cpar[:, 13:15] = 0.01 * rng.standard_normal((n, 2))  # sx1, sy1
     X = rng.standard_normal((n, 3)) * 2
     # place points in front: X chosen, then ensure depth positive by
     # shifting along the camera z axis via translation
@@ -28,11 +34,11 @@ def _random_pinhole_obs(n, seed=0):
     return q, ft, qs, st, cpar, X, uv
 
 
-def test_pinhole_resid_jac_matches_autodiff():
+def _check_kernel_vs_autodiff(n, seed, distortion):
     from glomap_tpu.estimators.bundle_adjustment import _resid_and_jac_v
 
-    n = 300
-    q, ft, qs, st, cpar, X, uv = _random_pinhole_obs(n)
+    q, ft, qs, st, cpar, X, uv = _random_pinhole_obs(
+        n, seed=seed, distortion=distortion)
     kind = jnp.zeros(n, dtype=jnp.int32)
     T = jnp.broadcast_to(jnp.eye(16), (n, 16, 16))
 
@@ -48,6 +54,15 @@ def test_pinhole_resid_jac_matches_autodiff():
                                rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(np.asarray(J_k), np.asarray(J_ref),
                                rtol=1e-7, atol=1e-7)
+
+
+def test_pinhole_resid_jac_matches_autodiff():
+    _check_kernel_vs_autodiff(300, seed=0, distortion=False)
+
+
+def test_perspective_distortion_jac_matches_autodiff():
+    """Full polynomial model: rational radial + tangential + thin prism."""
+    _check_kernel_vs_autodiff(300, seed=7, distortion=True)
 
 
 def test_huber_weight_cost_matches():
