@@ -128,31 +128,44 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
               o_sensor=None, sensor_quat=None, sensor_trans=None,
               sensor_mask=None, num_sensors: int = 0,
               optimize_rig: bool = False):
+    """Lane-major LM solver: all per-observation Jacobian data lives as
+    (k, O) row stacks (observations in the 128-lane axis), never as
+    (O, 2, k) blocks — a (O, 2, 25) f32 array tile-pads ~20x on TPU and
+    sets a ~2M-observation HBM ceiling; (50, O) pads ~1.1x.
+
+    The per-camera intrinsic tie/mask matrix T is applied AFTER reduction
+    (g_c <- T^T g_raw, B_c <- T^T B T, J v <- J (T v)) — exact because T
+    is constant per camera — so no per-observation (16, 16) products ever
+    materialize."""
     dtype = points.dtype
-    o_T = cam_T[o_cam]
     eye3 = jnp.eye(3, dtype=dtype)
     eye6 = jnp.eye(6, dtype=dtype)
     eye16 = jnp.eye(16, dtype=dtype)
     zdim = 31 if optimize_rig else 25
     num_obs = o_frame.shape[0]
+    o_T = cam_T[o_cam]  # only used by the autodiff residual cost
 
     # TPU scatter-adds are the slowest ops in the solve; when a segment
-    # axis is small enough, reduce with a one-hot matmul on the MXU
-    # instead (an order of magnitude faster for the 6x6/16x16 block
-    # builds and the CG-loop scatters).
+    # axis is small enough, reduce with a one-hot matmul on the MXU.
+    # Large segment axes (points; city-scale frames) reduce with per-row
+    # 1-D segment sums — (O,) operands pad only in the lane axis, unlike
+    # an (O, k) scatter operand which pads k -> 128.
     _ONE_HOT_BUDGET = 64_000_000  # elements
 
     def make_reducer(idx, n_seg):
+        """vals (k, O) -> (n_seg, k)."""
         if n_seg * num_obs <= _ONE_HOT_BUDGET:
             onehot = jax.nn.one_hot(idx, n_seg, dtype=dtype)  # (O, n)
 
             def reduce(vals):
-                flat = vals.reshape(num_obs, -1)
-                return jnp.einsum("on,ok->nk", onehot,
-                                  flat).reshape((n_seg,) + vals.shape[1:])
+                return jnp.einsum("ko,on->nk", vals, onehot)
             return reduce
-        return lambda vals: jax.ops.segment_sum(vals, idx,
-                                                num_segments=n_seg)
+
+        def reduce_rows(vals):
+            return jnp.stack(
+                [jax.ops.segment_sum(vals[i], idx, num_segments=n_seg)
+                 for i in range(vals.shape[0])], axis=-1)
+        return reduce_rows
 
     reduce_f = make_reducer(o_frame, num_frames)
     reduce_c = make_reducer(o_cam, num_cams)
@@ -160,12 +173,82 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
     reduce_s = make_reducer(o_sensor, num_sensors) if optimize_rig \
         else None
 
+    # lane-major gather tables for the CG matvecs: params (n, k) ->
+    # (k, n) -> trailing-axis gather to (k, O)
+    fmT = frame_mask.T  # (6, F)
+    fm_o = fmT[:, o_frame]  # (6, O)
+    if optimize_rig:
+        sm_o = sensor_mask.T[:, o_sensor]
+
+    def rows_mm(A, B, n, m):
+        """A (2n, O) row-stack of (2, n); B (2m, O) of (2, m); weighted
+        blocks k[i*m+j] = sum_r w A[r n+i] B[r m+j]  -> (n*m, O)."""
+        return [A[i] * B[j] + A[n + i] * B[m + j]
+                for i in range(n) for j in range(m)]
+
     def gather_sensor(sq, st):
         if optimize_rig:
             return sq[o_sensor], st[o_sensor]
         return o_sensor_q, o_sensor_t
 
+    # --- lane-major fast-path plumbing ---------------------------------
+    # Per-obs pose data comes from small per-(frame, sensor) tables
+    # gathered on the TRAILING axis — a direct (O, 3, 3) rotmat gather
+    # tile-pads ~113x and re-introduces the HBM ceiling the row layout
+    # removes. o_fs indexes the (F*S, .) tables.
+    use_tables = fast_path and (o_sensor is not None)
+    if use_tables:
+        n_sens_t = max(num_sensors, 1)
+        o_fs = o_frame * n_sens_t + o_sensor
+        uvT_const = o_uv.T  # (2, O), constant
+
+    def _persp_rows(fq, ft, sq, st, cp, X):
+        """(M9 (9,O), S9 (9,O), b3 (3,O), X3 (3,O), uvT (2,O), k15 (15,O))
+        via per-(frame, sensor) tables."""
+        from glomap_tpu.math import rotation as rotm
+        Rf = rotm.quat_to_rotmat(fq)  # (F, 3, 3)
+        Rs = rotm.quat_to_rotmat(sq)  # (S, 3, 3)
+        M_fs = jnp.einsum("sij,fjk->fsik", Rs, Rf)  # (F, S, 3, 3)
+        b_fs = jnp.einsum("sij,fj->fsi", Rs, ft) + st[None]  # (F, S, 3)
+        M9 = M_fs.reshape(-1, 9).T[:, o_fs]
+        S9 = jnp.broadcast_to(Rs.reshape(1, -1, 9),
+                              (fq.shape[0], Rs.shape[0], 9)
+                              ).reshape(-1, 9).T[:, o_fs]
+        b3 = b_fs.reshape(-1, 3).T[:, o_fs]
+        X3 = X.T[:, o_point]
+        k15 = cp.T[0:15][:, o_cam]
+        return M9, S9, b3, X3, uvT_const, k15
+
+    def _persp_resid_rows(M9, S9, b3, X3, uvT, k15):
+        """Residual only (2, O), lane-major (cost evaluations)."""
+        p0 = M9[0] * X3[0] + M9[1] * X3[1] + M9[2] * X3[2] + b3[0]
+        p1 = M9[3] * X3[0] + M9[4] * X3[1] + M9[5] * X3[2] + b3[1]
+        p2 = M9[6] * X3[0] + M9[7] * X3[1] + M9[8] * X3[2] + b3[2]
+        z = jnp.where(jnp.abs(p2) < 1e-9, 1e-9, p2)
+        x = p0 / z
+        y = p1 / z
+        r2 = x * x + y * y
+        r4 = r2 * r2
+        r6 = r4 * r2
+        num = 1.0 + k15[4] * r2 + k15[5] * r4 + k15[6] * r6 \
+            + k15[7] * r4 * r4
+        den = 1.0 + k15[8] * r2 + k15[9] * r4 + k15[10] * r6
+        radial = num / den
+        xy2 = 2.0 * x * y
+        du = x * radial + k15[11] * xy2 + k15[12] * (r2 + 2.0 * x * x) \
+            + k15[13] * r2
+        dv = y * radial + k15[12] * xy2 + k15[11] * (r2 + 2.0 * y * y) \
+            + k15[14] * r2
+        return jnp.stack([k15[0] * du + k15[2] - uvT[0],
+                          k15[1] * dv + k15[3] - uvT[1]])
+
     def compute_cost(fq, ft, cp, X, sq=None, st=None):
+        if use_tables:
+            s_q = sq if optimize_rig else sensor_quat
+            s_t = st if optimize_rig else sensor_trans
+            rT = _persp_resid_rows(*_persp_rows(fq, ft, s_q, s_t, cp, X))
+            r2 = rT[0] * rT[0] + rT[1] * rT[1]
+            return jnp.sum(o_w * _huber_cost(r2, huber_delta))
         qs_o, ts_o = (o_sensor_q, o_sensor_t) if not optimize_rig \
             else (sq[o_sensor], st[o_sensor])
 
@@ -179,43 +262,96 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
 
     def lm_step(state):
         fq, ft, cp, X, sq, st, lam, cost, it, done, _ = state
-        qs_o, ts_o = gather_sensor(sq, st)
-        if fast_path:
-            # Pallas fused closed-form kernel (valid premise checked by the
-            # caller: every camera distortion-free perspective)
+        if fast_path and use_tables:
+            # Pallas fused closed-form kernel (valid premise checked by
+            # the caller: every camera perspective) — emits lane-major
+            # (2, O) / (50, O) natively
+            from glomap_tpu.ops.pallas_kernels import (perspective_resid_jac,
+                                                       _on_tpu, LANES)
+            s_q = sq if optimize_rig else sensor_quat
+            s_t = st if optimize_rig else sensor_trans
+            rows = _persp_rows(fq, ft, s_q, s_t, cp, X)
+            pad = (-num_obs) % LANES
+
+            def padded(a):
+                return jnp.pad(a, ((0, 0), (0, pad))) if pad else a
+
+            rT, JT = perspective_resid_jac(
+                *[padded(a) for a in rows], interpret=not _on_tpu())
+            rT = rT[:, :num_obs]
+            JT = JT[:, :num_obs]
+        elif fast_path:
+            # no sensor index table available (legacy callers): per-obs
+            # gathers via the wrapper
             from glomap_tpu.ops.pallas_kernels import (ba_resid_jac_pinhole,
                                                        _on_tpu)
+            qs_o, ts_o = gather_sensor(sq, st)
             r, J = ba_resid_jac_pinhole(
                 fq[o_frame], ft[o_frame], qs_o, ts_o,
                 cp[o_cam], X[o_point], o_uv, interpret=not _on_tpu())
+            rT = r.T
+            JT = J.reshape(num_obs, 50).T
         else:
+            qs_o, ts_o = gather_sensor(sq, st)
             r, J = _resid_and_jac_v(fq[o_frame], ft[o_frame], qs_o,
                                     ts_o, cp[o_cam], o_kind,
-                                    X[o_point], o_uv, o_T, zdim)
-        w = o_w * _huber_weight(jnp.sum(r * r, -1), huber_delta)
-        Jf = J[:, :, 0:6] * frame_mask[o_frame][:, None, :]
-        Jp = J[:, :, 6:9]
-        if not optimize_points:
-            Jp = Jp * 0.0
-        Jc = J[:, :, 9:25]
-        if optimize_rig:
-            Js = J[:, :, 25:31] * sensor_mask[o_sensor][:, None, :]
-        if fast_path:
-            # fast-path J is w.r.t. raw canonical slots; apply the
-            # per-camera tie/mask matrix (autodiff path bakes it in)
-            Jc = jnp.einsum("ori,oij->orj", Jc, o_T)
+                                    X[o_point], o_uv,
+                                    jnp.broadcast_to(eye16,
+                                                     (num_obs, 16, 16)),
+                                    zdim)
+            rT = r.T  # (2, O)
+            JT = J.reshape(num_obs, 2 * zdim).T  # (2*zdim, O)
 
-        wr = w[:, None] * r
-        g_f = reduce_f(jnp.einsum("ori,or->oi", Jf, wr))
-        g_c = reduce_c(jnp.einsum("ori,or->oi", Jc, wr))
-        g_p = reduce_p(jnp.einsum("ori,or->oi", Jp, wr))
+        w = o_w * _huber_weight(rT[0] * rT[0] + rT[1] * rT[1], huber_delta)
+        sw = jnp.sqrt(w)
+        # fold sqrt(w) into the rows once: all reductions below become
+        # plain products of whitened rows
+        JTw = JT * sw
+        # whitened row stacks per block, pose/sensor masks folded in
+        Jf = [JTw[c] * fm_o[c % 6] if c < 6 else JTw[c] * fm_o[c - zdim]
+              for c in list(range(0, 6)) + list(range(zdim, zdim + 6))]
+        pscale = 1.0 if optimize_points else 0.0
+        Jp = [JTw[c] * pscale
+              for c in list(range(6, 9)) + list(range(zdim + 6, zdim + 9))]
+        Jc = [JTw[c]
+              for c in list(range(9, 25)) + list(range(zdim + 9, zdim + 25))]
+        Jf = jnp.stack(Jf)  # (12, O)
+        Jp = jnp.stack(Jp)  # (6, O)
+        Jc = jnp.stack(Jc)  # (32, O)
         if optimize_rig:
-            g_s = reduce_s(jnp.einsum("ori,or->oi", Js, wr))
+            Js = jnp.stack([JTw[c] * sm_o[c - 25 if c < 31 else c - 56]
+                            for c in (list(range(25, 31)) +
+                                      list(range(56, 62)))])
 
-        # block diagonals
-        B_f = reduce_f(jnp.einsum("ori,o,orj->oij", Jf, w, Jf))
-        B_c = reduce_c(jnp.einsum("ori,o,orj->oij", Jc, w, Jc))
-        B_p = reduce_p(jnp.einsum("ori,o,orj->oij", Jp, w, Jp))
+        # per-camera tie matrices (constant): post-reduction application
+        T_t = jnp.swapaxes(cam_T, -1, -2)  # (C, 16, 16)
+
+        def tie_g(g_raw):  # (C, 16) -> tied
+            return jnp.einsum("cij,cj->ci", T_t, g_raw)
+
+        def tie_B(B_raw):  # (C, 16, 16) -> T^T B T
+            return jnp.einsum("cij,cjk,ckl->cil", T_t, B_raw, cam_T)
+
+        wrT = jnp.stack([rT[0] * sw, rT[1] * sw])  # whitened residual (2, O)
+
+        def jt_rows(Jx, k, y):
+            """J_x^T y for whitened rows: (k, O) list of products."""
+            return jnp.stack([Jx[i] * y[0] + Jx[k + i] * y[1]
+                              for i in range(k)])
+
+        g_f = reduce_f(jt_rows(Jf, 6, wrT))
+        g_c = tie_g(reduce_c(jt_rows(Jc, 16, wrT)))
+        g_p = reduce_p(jt_rows(Jp, 3, wrT))
+        if optimize_rig:
+            g_s = reduce_s(jt_rows(Js, 6, wrT))
+
+        # block diagonals (whitened rows: no extra w factor)
+        B_f = reduce_f(jnp.stack(rows_mm(Jf, Jf, 6, 6))).reshape(
+            num_frames, 6, 6)
+        B_c = tie_B(reduce_c(jnp.stack(rows_mm(Jc, Jc, 16, 16))).reshape(
+            num_cams, 16, 16))
+        B_p = reduce_p(jnp.stack(rows_mm(Jp, Jp, 3, 3))).reshape(
+            num_points, 3, 3)
 
         def damp(B, eye, floor):
             diag = jnp.diagonal(B, axis1=-2, axis2=-1)
@@ -224,7 +360,8 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
             return B + D
 
         if optimize_rig:
-            B_s = reduce_s(jnp.einsum("ori,o,orj->oij", Js, w, Js))
+            B_s = reduce_s(jnp.stack(rows_mm(Js, Js, 6, 6))).reshape(
+                num_sensors, 6, 6)
             B_s_d = damp(B_s, eye6, 1e-8)
         B_f_d = damp(B_f, eye6, 1e-8)
         B_c_d = damp(B_c, eye16, 1e-6)
@@ -233,31 +370,40 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
             jnp.broadcast_to(eye3, B_p_d.shape)
 
         def J_apply(vf, vc, vs):
-            """camera-side direction -> per-obs 2-vector"""
-            out = (jnp.einsum("ori,oi->or", Jf, vf[o_frame]) +
-                   jnp.einsum("ori,oi->or", Jc, vc[o_cam]))
+            """camera-side direction -> whitened per-obs 2-vector (2, O)"""
+            vf_o = vf.T[:, o_frame]  # (6, O)
+            vct = jnp.einsum("cij,cj->ci", cam_T, vc)  # tie first
+            vc_o = vct.T[:, o_cam]  # (16, O)
+            out0 = sum(Jf[i] * vf_o[i] for i in range(6)) + \
+                sum(Jc[i] * vc_o[i] for i in range(16))
+            out1 = sum(Jf[6 + i] * vf_o[i] for i in range(6)) + \
+                sum(Jc[16 + i] * vc_o[i] for i in range(16))
             if optimize_rig:
-                out = out + jnp.einsum("ori,oi->or", Js, vs[o_sensor])
-            return out
+                vs_o = vs.T[:, o_sensor]
+                out0 = out0 + sum(Js[i] * vs_o[i] for i in range(6))
+                out1 = out1 + sum(Js[6 + i] * vs_o[i] for i in range(6))
+            return jnp.stack([out0, out1])
 
         def JT_scatter(y):
-            """per-obs 2-vector (already weighted) -> camera-side grads"""
-            out_f = reduce_f(jnp.einsum("ori,or->oi", Jf, y))
-            out_c = reduce_c(jnp.einsum("ori,or->oi", Jc, y))
+            """whitened per-obs 2-vector -> camera-side grads"""
+            out_f = reduce_f(jt_rows(Jf, 6, y))
+            out_c = tie_g(reduce_c(jt_rows(Jc, 16, y)))
             if optimize_rig:
-                out_s = reduce_s(jnp.einsum("ori,or->oi", Js, y))
+                out_s = reduce_s(jt_rows(Js, 6, y))
             else:
                 out_s = None
             return out_f, out_c, out_s
 
         def Hpc_apply(vf, vc, vs):
             """camera-side direction -> point-side (num_points, 3)"""
-            y = w[:, None] * J_apply(vf, vc, vs)
-            return reduce_p(jnp.einsum("ori,or->oi", Jp, y))
+            y = J_apply(vf, vc, vs)
+            return reduce_p(jt_rows(Jp, 3, y))
 
         def Hcp_apply(vp):
-            y = w[:, None] * jnp.einsum("ori,oi->or", Jp, vp[o_point])
-            return JT_scatter(y)
+            vp_o = vp.T[:, o_point]  # (3, O)
+            y0 = sum(Jp[i] * vp_o[i] for i in range(3))
+            y1 = sum(Jp[3 + i] * vp_o[i] for i in range(3))
+            return JT_scatter(jnp.stack([y0, y1]))
 
         # Schur rhs: b = -g_cam - H_cp Bp_inv (-g_p)
         z_p = jnp.einsum("tij,tj->ti", Bp_inv, -g_p)
@@ -286,7 +432,7 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         def schur_mv(v):
             vf, vc, vs = unpack(v)
             # H_cc v (includes frame-intrinsic-sensor cross terms)
-            y = w[:, None] * J_apply(vf, vc, vs)
+            y = J_apply(vf, vc, vs)
             out_f, out_c, out_s = JT_scatter(y)
             # damping contribution (damp only block diagonals)
             out_f = out_f + jnp.einsum("fij,fj->fi", B_f_d - B_f, vf)
@@ -304,20 +450,30 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         # Schur complement itself, S_ff = B_f - sum_o C_o Bp_inv C_o^T
         # (exact when each (frame, point) pair has one observation, the
         # typical case) — cuts PCG iterations several-fold vs plain
-        # block-Jacobi on H_cc.
-        Bp_inv_o = Bp_inv[o_point]
-        C_f = jnp.einsum("ori,o,orj->oij", Jf, w, Jp)
-        S_f = B_f_d - reduce_f(
-            jnp.einsum("oij,ojk,olk->oil", C_f, Bp_inv_o, C_f))
-        C_c = jnp.einsum("ori,o,orj->oij", Jc, w, Jp)
-        S_c = B_c_d - reduce_c(
-            jnp.einsum("oij,ojk,olk->oil", C_c, Bp_inv_o, C_c))
+        # block-Jacobi on H_cc. Per-obs Bp_inv arrives lane-major via a
+        # trailing-axis gather (9, O).
+        Bpi_o = Bp_inv.reshape(num_points, 9).T[:, o_point]  # (9, O)
+
+        def schur_corr(Jx, k, reduce_x):
+            """sum_o C_o Bp_inv C_o^T for C_o = J_x^T J_p per obs:
+            rows (k*k, O) -> (n, k, k)."""
+            C = rows_mm(Jx, Jp, k, 3)  # k*3 rows
+            # D[i*3+m] = sum_j C[i*3+j] Bpi[j*3+m]
+            D = [sum(C[i * 3 + j] * Bpi_o[j * 3 + m] for j in range(3))
+                 for i in range(k) for m in range(3)]
+            E = jnp.stack([sum(D[i * 3 + m] * C[l * 3 + m]
+                               for m in range(3))
+                           for i in range(k) for l in range(k)])
+            return reduce_x(E)
+
+        S_f = B_f_d - schur_corr(Jf, 6, reduce_f).reshape(num_frames, 6, 6)
+        S_c = B_c_d - tie_B(
+            schur_corr(Jc, 16, reduce_c).reshape(num_cams, 16, 16))
         Bf_inv = jnp.linalg.inv(S_f)
         Bc_inv = jnp.linalg.inv(S_c)
         if optimize_rig:
-            C_s = jnp.einsum("ori,o,orj->oij", Js, w, Jp)
-            S_s = B_s_d - reduce_s(
-                jnp.einsum("oij,ojk,olk->oil", C_s, Bp_inv_o, C_s))
+            S_s = B_s_d - schur_corr(Js, 6, reduce_s).reshape(
+                num_sensors, 6, 6)
             Bs_inv = jnp.linalg.inv(S_s)
         else:
             Bs_inv = None
