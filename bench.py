@@ -103,6 +103,11 @@ def main():
 
     # Pallas fast path: the bench scene is distortion-free PINHOLE
     fast = bool((data["cam_params"][:, 4:16] == 0).all())
+    # sorted point axis -> Pallas sorted-segment reducer eligibility
+    point_width = 0
+    if np.all(np.diff(data["o_point"]) >= 0):
+        from glomap_tpu.ops.pallas_kernels import block_width_for_sorted
+        point_width = block_width_for_sorted(data["o_point"])
 
     def run(n_iters):
         out = _solve_ba(*args, num_frames=sizes["num_frames"],
@@ -110,7 +115,8 @@ def main():
                         num_points=sizes["num_points"],
                         huber_delta=1.0, function_tol=0.0,
                         max_iters=n_iters, cg_iters=30,
-                        optimize_points=True, fast_path=fast)
+                        optimize_points=True, fast_path=fast,
+                        point_width=point_width)
         float(out[4])  # host pull = hard sync (block_until_ready alone is
         # unreliable through the remote-execution tunnel)
         return out

@@ -51,13 +51,21 @@ def establish_full_tracks(scene: Scene, vg: ViewGraph,
     obs_image = kp_image[obs_kp]
     obs_feature = obs_kp - scene.kp_offset[obs_image]
 
+    # emit observations sorted by (track, image): downstream solvers rely
+    # on the track axis being sorted (Pallas sorted-segment reductions in
+    # BA; masks and compaction preserve the order)
+    order = np.lexsort((obs_image, obs_track))
+    obs_track = obs_track[order]
+    obs_image = obs_image[order]
+    obs_feature = obs_feature[order]
+    obs_kp = obs_kp[order]
+
     # consistency filter: per (track, image) group, bbox-diagonal distance
     # between features must stay within thres_inconsistency (exact for
     # 2-feature groups; a tight upper bound of the diameter for larger)
-    order = np.lexsort((obs_image, obs_track))
-    t_s = obs_track[order]
-    i_s = obs_image[order]
-    xy_s = scene.kp_xy[obs_kp[order]]
+    t_s = obs_track
+    i_s = obs_image
+    xy_s = scene.kp_xy[obs_kp]
     new_group = np.ones(len(t_s), dtype=bool)
     new_group[1:] = (t_s[1:] != t_s[:-1]) | (i_s[1:] != i_s[:-1])
     starts = np.nonzero(new_group)[0]

@@ -112,7 +112,8 @@ _resid_and_jac_v = jax.vmap(_resid_and_jac,
 @partial(jax.jit, static_argnames=("num_frames", "num_cams", "num_points",
                                    "num_sensors", "max_iters", "cg_iters",
                                    "optimize_points", "fast_path",
-                                   "optimize_rig"))
+                                   "optimize_rig", "point_width",
+                                   "one_hot_budget"))
 def _solve_ba(frame_quat, frame_trans, cam_params, points,
               # static per-obs data
               o_frame, o_cam, o_point, o_sensor_q, o_sensor_t, o_kind,
@@ -127,11 +128,22 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
               # sensor poses become unknowns; o_sensor indexes them
               o_sensor=None, sensor_quat=None, sensor_trans=None,
               sensor_mask=None, num_sensors: int = 0,
-              optimize_rig: bool = False):
+              optimize_rig: bool = False,
+              # o_point is sorted ascending and any 2048-obs block spans
+              # at most `point_width` distinct points (0 = not sorted)
+              point_width: int = 0,
+              one_hot_budget: int = 1 << 28):
     """Lane-major LM solver: all per-observation Jacobian data lives as
     (k, O) row stacks (observations in the 128-lane axis), never as
     (O, 2, k) blocks — a (O, 2, 25) f32 array tile-pads ~20x on TPU and
     sets a ~2M-observation HBM ceiling; (50, O) pads ~1.1x.
+
+    Index-axis traffic (gathers into the obs axis, segment reductions out
+    of it) runs entirely as one-hot MXU matmuls or the Pallas
+    sorted-window kernels — never as TPU lane gathers (~5 GB/s measured)
+    or 1-D scatter-adds (~1 ms per 100k-element row): that single change
+    took the 100-frame/100k-obs benchmark from 8.5 to >100 LM iters/s on
+    one v5e chip.
 
     The per-camera intrinsic tie/mask matrix T is applied AFTER reduction
     (g_c <- T^T g_raw, B_c <- T^T B T, J v <- J (T v)) — exact because T
@@ -145,46 +157,84 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
     num_obs = o_frame.shape[0]
     o_T = cam_T[o_cam]  # only used by the autodiff residual cost
 
-    # TPU scatter-adds are the slowest ops in the solve; when a segment
-    # axis is small enough, reduce with a one-hot matmul on the MXU.
-    # Large segment axes (points; city-scale frames) reduce with per-row
-    # 1-D segment sums — (O,) operands pad only in the lane axis, unlike
-    # an (O, k) scatter operand which pads k -> 128.
-    _ONE_HOT_BUDGET = 64_000_000  # elements
+    # TPU scatter-adds are the slowest ops in the solve (~1 ms per
+    # 100k-element 1-D scatter, measured on v5e); when a segment axis is
+    # small enough, reduce with a one-hot matmul instead — XLA fuses the
+    # one-hot generation into the dot, so it is MXU work with no
+    # materialized (O, n) operand. Beyond the budget, a SORTED segment
+    # axis (the point axis: observations are ordered by track) reduces
+    # through the Pallas blocked local-one-hot kernel — O(O * width)
+    # work independent of n_seg, the city-scale path. Unsorted + over
+    # budget falls back to per-row 1-D segment sums.
+    def make_axis_ops(idx, n_seg, sorted_width: int = 0):
+        """-> (reduce: (k, O) -> (n_seg, k), gather: (n_seg, k) -> (k, O)).
 
-    def make_reducer(idx, n_seg):
-        """vals (k, O) -> (n_seg, k)."""
-        if n_seg * num_obs <= _ONE_HOT_BUDGET:
+        Both directions of every per-obs index axis run as MXU matmuls:
+        lane-axis gathers and 1-D scatter-adds each cost milliseconds per
+        100k observations on TPU (profiled), while a one-hot dot — with
+        the one-hot fused from an iota compare — runs at memory speed.
+        A SORTED axis (points: observations are ordered by track) uses
+        the Pallas blocked local-one-hot kernels instead, whose work is
+        O(O * width) independent of n_seg — the city-scale path.
+        """
+        if sorted_width:
+            from glomap_tpu.ops.pallas_kernels import (
+                _on_tpu, sorted_segment_gather, sorted_segment_rowsum)
+            interp = not _on_tpu()
+
+            def reduce(vals):
+                return sorted_segment_rowsum(vals, idx, n_seg,
+                                             sorted_width, interpret=interp)
+
+            def gather(tab):
+                return sorted_segment_gather(tab, idx, sorted_width,
+                                             interpret=interp)
+            return reduce, gather
+
+        if n_seg * num_obs <= one_hot_budget:
             onehot = jax.nn.one_hot(idx, n_seg, dtype=dtype)  # (O, n)
 
             def reduce(vals):
                 return jnp.einsum("ko,on->nk", vals, onehot)
-            return reduce
 
-        def reduce_rows(vals):
+            def gather(tab):
+                return jnp.einsum("nk,on->ko", tab, onehot)
+            return reduce, gather
+
+        def reduce(vals):
             return jnp.stack(
                 [jax.ops.segment_sum(vals[i], idx, num_segments=n_seg)
                  for i in range(vals.shape[0])], axis=-1)
-        return reduce_rows
 
-    reduce_f = make_reducer(o_frame, num_frames)
-    reduce_c = make_reducer(o_cam, num_cams)
-    reduce_p = make_reducer(o_point, num_points)
-    reduce_s = make_reducer(o_sensor, num_sensors) if optimize_rig \
-        else None
+        def gather(tab):
+            return tab.T[:, idx]
+        return reduce, gather
 
-    # lane-major gather tables for the CG matvecs: params (n, k) ->
-    # (k, n) -> trailing-axis gather to (k, O)
-    fmT = frame_mask.T  # (6, F)
-    fm_o = fmT[:, o_frame]  # (6, O)
+    reduce_f, gather_f = make_axis_ops(o_frame, num_frames)
+    reduce_c, gather_c = make_axis_ops(o_cam, num_cams)
+    reduce_p, gather_p = make_axis_ops(o_point, num_points, point_width)
     if optimize_rig:
-        sm_o = sensor_mask.T[:, o_sensor]
+        reduce_s, gather_s = make_axis_ops(o_sensor, num_sensors)
+    else:
+        reduce_s = gather_s = None
 
-    def rows_mm(A, B, n, m):
-        """A (2n, O) row-stack of (2, n); B (2m, O) of (2, m); weighted
-        blocks k[i*m+j] = sum_r w A[r n+i] B[r m+j]  -> (n*m, O)."""
-        return [A[i] * B[j] + A[n + i] * B[m + j]
+    fm_o = gather_f(frame_mask)  # (6, O)
+    if optimize_rig:
+        sm_o = gather_s(sensor_mask)
+
+    def rows_mm(A3, B3, n, m):
+        """A3 (2, n, O), B3 (2, m, O) whitened row stacks; returns the
+        n*m rows k[i*m+j] = sum_r A3[r, i] B3[r, j]."""
+        return [A3[0, i] * B3[0, j] + A3[1, i] * B3[1, j]
                 for i in range(n) for j in range(m)]
+
+    def jt(J3, y):
+        """J^T y rows: J3 (2, k, O), y (2, O) -> (k, O); no stacking."""
+        return J3[0] * y[0] + J3[1] * y[1]
+
+    def app(J3, v_o):
+        """J v rows: J3 (2, k, O), v_o (k, O) -> (2, O)."""
+        return jnp.einsum("rko,ko->ro", J3, v_o)
 
     def gather_sensor(sq, st):
         if optimize_rig:
@@ -200,24 +250,26 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
     if use_tables:
         n_sens_t = max(num_sensors, 1)
         o_fs = o_frame * n_sens_t + o_sensor
+        _, gather_fs = make_axis_ops(o_fs, num_frames * n_sens_t)
         uvT_const = o_uv.T  # (2, O), constant
 
     def _persp_rows(fq, ft, sq, st, cp, X):
         """(M9 (9,O), S9 (9,O), b3 (3,O), X3 (3,O), uvT (2,O), k15 (15,O))
-        via per-(frame, sensor) tables."""
+        via per-(frame, sensor) tables expanded with one-hot matmuls."""
         from glomap_tpu.math import rotation as rotm
         Rf = rotm.quat_to_rotmat(fq)  # (F, 3, 3)
         Rs = rotm.quat_to_rotmat(sq)  # (S, 3, 3)
         M_fs = jnp.einsum("sij,fjk->fsik", Rs, Rf)  # (F, S, 3, 3)
         b_fs = jnp.einsum("sij,fj->fsi", Rs, ft) + st[None]  # (F, S, 3)
-        M9 = M_fs.reshape(-1, 9).T[:, o_fs]
-        S9 = jnp.broadcast_to(Rs.reshape(1, -1, 9),
-                              (fq.shape[0], Rs.shape[0], 9)
-                              ).reshape(-1, 9).T[:, o_fs]
-        b3 = b_fs.reshape(-1, 3).T[:, o_fs]
-        X3 = X.T[:, o_point]
-        k15 = cp.T[0:15][:, o_cam]
-        return M9, S9, b3, X3, uvT_const, k15
+        # one table gather for [M9 | S9 | b3] (15 columns)
+        S_rep = jnp.broadcast_to(Rs.reshape(1, -1, 9),
+                                 (fq.shape[0], Rs.shape[0], 9))
+        tab = jnp.concatenate([M_fs.reshape(-1, 9), S_rep.reshape(-1, 9),
+                               b_fs.reshape(-1, 3)], axis=1)
+        rows = gather_fs(tab)  # (21, O)
+        X3 = gather_p(X)
+        k15 = gather_c(cp[:, 0:15])
+        return rows[0:9], rows[9:18], rows[18:21], X3, uvT_const, k15
 
     def _persp_resid_rows(M9, S9, b3, X3, uvT, k15):
         """Residual only (2, O), lane-major (cost evaluations)."""
@@ -305,23 +357,16 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         w = o_w * _huber_weight(rT[0] * rT[0] + rT[1] * rT[1], huber_delta)
         sw = jnp.sqrt(w)
         # fold sqrt(w) into the rows once: all reductions below become
-        # plain products of whitened rows
-        JTw = JT * sw
-        # whitened row stacks per block, pose/sensor masks folded in
-        Jf = [JTw[c] * fm_o[c % 6] if c < 6 else JTw[c] * fm_o[c - zdim]
-              for c in list(range(0, 6)) + list(range(zdim, zdim + 6))]
+        # plain products of whitened rows. J3 is a free reshape VIEW of
+        # the (2*zdim, O) row stack — per-block row groups are slices,
+        # never per-row stack copies (profiled at ~1 ms each on TPU).
+        J3 = (JT * sw).reshape(2, zdim, num_obs)
         pscale = 1.0 if optimize_points else 0.0
-        Jp = [JTw[c] * pscale
-              for c in list(range(6, 9)) + list(range(zdim + 6, zdim + 9))]
-        Jc = [JTw[c]
-              for c in list(range(9, 25)) + list(range(zdim + 9, zdim + 25))]
-        Jf = jnp.stack(Jf)  # (12, O)
-        Jp = jnp.stack(Jp)  # (6, O)
-        Jc = jnp.stack(Jc)  # (32, O)
+        Jf = J3[:, 0:6] * fm_o      # (2, 6, O), pose mask folded in
+        Jp = J3[:, 6:9] * pscale    # (2, 3, O)
+        Jc = J3[:, 9:25]            # (2, 16, O)
         if optimize_rig:
-            Js = jnp.stack([JTw[c] * sm_o[c - 25 if c < 31 else c - 56]
-                            for c in (list(range(25, 31)) +
-                                      list(range(56, 62)))])
+            Js = J3[:, 25:31] * sm_o
 
         # per-camera tie matrices (constant): post-reduction application
         T_t = jnp.swapaxes(cam_T, -1, -2)  # (C, 16, 16)
@@ -332,18 +377,13 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         def tie_B(B_raw):  # (C, 16, 16) -> T^T B T
             return jnp.einsum("cij,cjk,ckl->cil", T_t, B_raw, cam_T)
 
-        wrT = jnp.stack([rT[0] * sw, rT[1] * sw])  # whitened residual (2, O)
+        wrT = rT * sw  # whitened residual (2, O)
 
-        def jt_rows(Jx, k, y):
-            """J_x^T y for whitened rows: (k, O) list of products."""
-            return jnp.stack([Jx[i] * y[0] + Jx[k + i] * y[1]
-                              for i in range(k)])
-
-        g_f = reduce_f(jt_rows(Jf, 6, wrT))
-        g_c = tie_g(reduce_c(jt_rows(Jc, 16, wrT)))
-        g_p = reduce_p(jt_rows(Jp, 3, wrT))
+        g_f = reduce_f(jt(Jf, wrT))
+        g_c = tie_g(reduce_c(jt(Jc, wrT)))
+        g_p = reduce_p(jt(Jp, wrT))
         if optimize_rig:
-            g_s = reduce_s(jt_rows(Js, 6, wrT))
+            g_s = reduce_s(jt(Js, wrT))
 
         # block diagonals (whitened rows: no extra w factor)
         B_f = reduce_f(jnp.stack(rows_mm(Jf, Jf, 6, 6))).reshape(
@@ -366,44 +406,31 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         B_f_d = damp(B_f, eye6, 1e-8)
         B_c_d = damp(B_c, eye16, 1e-6)
         B_p_d = damp(B_p, eye3, 1e-10)
-        Bp_inv = jnp.linalg.inv(B_p_d) if optimize_points else \
+        from glomap_tpu.ops.linear import inv3x3
+        Bp_inv = inv3x3(B_p_d) if optimize_points else \
             jnp.broadcast_to(eye3, B_p_d.shape)
 
         def J_apply(vf, vc, vs):
             """camera-side direction -> whitened per-obs 2-vector (2, O)"""
-            vf_o = vf.T[:, o_frame]  # (6, O)
             vct = jnp.einsum("cij,cj->ci", cam_T, vc)  # tie first
-            vc_o = vct.T[:, o_cam]  # (16, O)
-            out0 = sum(Jf[i] * vf_o[i] for i in range(6)) + \
-                sum(Jc[i] * vc_o[i] for i in range(16))
-            out1 = sum(Jf[6 + i] * vf_o[i] for i in range(6)) + \
-                sum(Jc[16 + i] * vc_o[i] for i in range(16))
+            out = app(Jf, gather_f(vf)) + app(Jc, gather_c(vct))
             if optimize_rig:
-                vs_o = vs.T[:, o_sensor]
-                out0 = out0 + sum(Js[i] * vs_o[i] for i in range(6))
-                out1 = out1 + sum(Js[6 + i] * vs_o[i] for i in range(6))
-            return jnp.stack([out0, out1])
+                out = out + app(Js, gather_s(vs))
+            return out
 
         def JT_scatter(y):
             """whitened per-obs 2-vector -> camera-side grads"""
-            out_f = reduce_f(jt_rows(Jf, 6, y))
-            out_c = tie_g(reduce_c(jt_rows(Jc, 16, y)))
-            if optimize_rig:
-                out_s = reduce_s(jt_rows(Js, 6, y))
-            else:
-                out_s = None
+            out_f = reduce_f(jt(Jf, y))
+            out_c = tie_g(reduce_c(jt(Jc, y)))
+            out_s = reduce_s(jt(Js, y)) if optimize_rig else None
             return out_f, out_c, out_s
 
         def Hpc_apply(vf, vc, vs):
             """camera-side direction -> point-side (num_points, 3)"""
-            y = J_apply(vf, vc, vs)
-            return reduce_p(jt_rows(Jp, 3, y))
+            return reduce_p(jt(Jp, J_apply(vf, vc, vs)))
 
         def Hcp_apply(vp):
-            vp_o = vp.T[:, o_point]  # (3, O)
-            y0 = sum(Jp[i] * vp_o[i] for i in range(3))
-            y1 = sum(Jp[3 + i] * vp_o[i] for i in range(3))
-            return JT_scatter(jnp.stack([y0, y1]))
+            return JT_scatter(app(Jp, gather_p(vp)))
 
         # Schur rhs: b = -g_cam - H_cp Bp_inv (-g_p)
         z_p = jnp.einsum("tij,tj->ti", Bp_inv, -g_p)
@@ -451,8 +478,8 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         # (exact when each (frame, point) pair has one observation, the
         # typical case) — cuts PCG iterations several-fold vs plain
         # block-Jacobi on H_cc. Per-obs Bp_inv arrives lane-major via a
-        # trailing-axis gather (9, O).
-        Bpi_o = Bp_inv.reshape(num_points, 9).T[:, o_point]  # (9, O)
+        # one-hot / sorted-window matmul gather (9, O).
+        Bpi_o = gather_p(Bp_inv.reshape(num_points, 9))  # (9, O)
 
         def schur_corr(Jx, k, reduce_x):
             """sum_o C_o Bp_inv C_o^T for C_o = J_x^T J_p per obs:
@@ -588,7 +615,17 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
     o_w_np = pad_axis0(np.ones(n_obs), n_obs_pad)
     o_frame = pad_axis0(o_frame, n_obs_pad)
     o_cam = pad_axis0(o_cam, n_obs_pad)
-    o_point = pad_axis0(o_point, n_obs_pad)
+    # track establishment emits observations grouped by track, so o_point
+    # is sorted — pad with the LAST id (keeps it sorted; padded rows have
+    # zero weight) and hand the solver the static block width that
+    # activates the Pallas sorted-segment reducer at scale
+    point_sorted = n_obs > 0 and bool(np.all(np.diff(o_point) >= 0))
+    pad_pt = int(o_point[-1]) if (point_sorted and n_obs) else 0
+    o_point = pad_axis0(o_point, n_obs_pad, fill=pad_pt)
+    point_width = 0
+    if point_sorted:
+        from glomap_tpu.ops.pallas_kernels import block_width_for_sorted
+        point_width = block_width_for_sorted(o_point)
     o_sensor = pad_axis0(o_sensor, n_obs_pad)
     o_sq = pad_axis0(scene.sensor_quat[scene.image_sensor[o_img]], n_obs_pad)
     o_sq[n_obs:, 0] = 1.0
@@ -647,7 +684,8 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         sensor_trans=jnp.asarray(scene.sensor_trans, dtype=dtype),
         sensor_mask=jnp.asarray(sensor_mask, dtype=dtype),
         num_sensors=num_sensors,
-        optimize_rig=bool(opts.optimize_rig_poses))
+        optimize_rig=bool(opts.optimize_rig_poses),
+        point_width=point_width)
 
     fq = np.asarray(fq, dtype=np.float64)
     ft = np.asarray(ft, dtype=np.float64)

@@ -73,12 +73,21 @@ def build_ba_inputs(scene: Scene, tracks: Tracks,
         o_uv=np.asarray(scene.kp_xy[kp], dtype),
         o_w=np.ones(len(o_img), dtype),
     )
+    # sorted-point-axis metadata for the Pallas segment reducer (single
+    # chip only: a pallas_call is opaque to the SPMD partitioner, so the
+    # sharded entry point below zeroes this out)
+    point_width = 0
+    if len(o_point) and bool(np.all(np.diff(o_point) >= 0)):
+        from glomap_tpu.ops.pallas_kernels import block_width_for_sorted
+        point_width = block_width_for_sorted(o_point)
+
     statics = dict(num_frames=F, num_cams=scene.num_cameras,
                    num_points=tracks.num_tracks,
                    huber_delta=float(opts.thres_loss_function),
                    function_tol=float(opts.function_tolerance),
                    max_iters=int(opts.max_num_iterations), cg_iters=30,
-                   optimize_points=bool(opts.optimize_points))
+                   optimize_points=bool(opts.optimize_points),
+                   point_width=point_width)
     return params, obs, statics
 
 
@@ -91,6 +100,7 @@ def solve_ba_sharded(scene: Scene, tracks: Tracks, mesh=None,
     mesh = mesh or meshmod.make_mesh()
     n_dev = np.prod([mesh.shape[a] for a in mesh.axis_names])
     params, obs, statics = build_ba_inputs(scene, tracks, opts, dtype)
+    statics["point_width"] = 0  # pallas_call is opaque to SPMD sharding
     # pad obs to a multiple of the device count (padded rows carry w = 0
     # and index 0 everywhere -> harmless)
     obs = meshmod.pad_to_multiple(obs, int(n_dev))

@@ -95,3 +95,73 @@ def test_sampson_score_matches():
     out = np.asarray(pk.sampson_score(E_rows, x1_rows, x2_rows,
                                       interpret=True))[:m]
     np.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-12)
+
+
+def test_sorted_segment_rowsum_matches_segment_sum():
+    rng = np.random.default_rng(3)
+    for n, t, k, block in [(5000, 400, 9, 512), (2048, 2048, 3, 2048),
+                           (100, 7, 16, 256)]:
+        ids = np.sort(rng.integers(0, t, size=n)).astype(np.int32)
+        vals = rng.standard_normal((k, n))
+        ref = np.zeros((t, k))
+        np.add.at(ref, ids, vals.T)
+        width = pk.block_width_for_sorted(ids, block=block)
+        out = np.asarray(pk.sorted_segment_rowsum(
+            jnp.asarray(vals), jnp.asarray(ids), t, width, block=block,
+            interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_sorted_segment_rowsum_empty_segments_and_tail():
+    # segments with no observations stay zero; non-multiple-of-block tail
+    ids = np.asarray([0, 0, 5, 5, 5, 9], dtype=np.int32)
+    vals = np.arange(12, dtype=np.float64).reshape(2, 6)
+    ref = np.zeros((11, 2))
+    np.add.at(ref, ids, vals.T)
+    width = pk.block_width_for_sorted(ids, block=256)
+    out = np.asarray(pk.sorted_segment_rowsum(
+        jnp.asarray(vals), jnp.asarray(ids), 11, width, block=256,
+        interpret=True))
+    np.testing.assert_allclose(out, ref)
+
+
+def test_ba_point_width_path_matches_default():
+    """_solve_ba with the sorted-point Pallas reducer == scatter path."""
+    import jax
+    from glomap_tpu.estimators import bundle_adjustment as ba
+    from glomap_tpu.parallel.sharded_ba import build_ba_inputs
+    from glomap_tpu.processors.undistortion import undistort_images
+    from glomap_tpu.controllers.track_establishment import (
+        establish_full_tracks, find_tracks_for_problem)
+    from glomap_tpu.ops.triangulation import triangulate_tracks
+    from glomap_tpu.utils.synthetic import SyntheticOptions, synthesize_dataset
+
+    scene, vg, _ = synthesize_dataset(SyntheticOptions(
+        num_frames_per_rig=8, num_points3D=60, seed=3, point2D_stddev=0.5))
+    undistort_images(scene)
+    tracks = find_tracks_for_problem(scene, establish_full_tracks(scene, vg))
+    triangulate_tracks(scene, tracks)
+    params, obs, statics = build_ba_inputs(scene, tracks,
+                                           dtype=jnp.float64)
+    assert statics["point_width"] > 0  # obs really are sorted by track
+    statics["max_iters"] = 3
+
+    def run(pw):
+        s = dict(statics)
+        s["point_width"] = pw
+        s["one_hot_budget"] = 0  # force scatter/pallas, not one-hot
+        return ba._solve_ba(
+            jnp.asarray(params["frame_quat"]),
+            jnp.asarray(params["frame_trans"]),
+            jnp.asarray(params["cam_params"]), jnp.asarray(params["points"]),
+            jnp.asarray(obs["o_frame"]), jnp.asarray(obs["o_cam"]),
+            jnp.asarray(obs["o_point"]), jnp.asarray(obs["o_sensor_q"]),
+            jnp.asarray(obs["o_sensor_t"]), jnp.asarray(obs["o_kind"]),
+            jnp.asarray(obs["o_uv"]), jnp.asarray(params["cam_T"]),
+            jnp.asarray(obs["o_w"]), jnp.asarray(params["frame_mask"]), **s)
+
+    out_def = run(0)
+    out_pw = run(statics["point_width"])
+    for a, b in zip(out_def[:4], out_pw[:4]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-10)
