@@ -32,7 +32,9 @@ def build_problem():
         data = dict(np.load(CACHE, allow_pickle=False))
         statics = dict(num_frames=int(data.pop("s_num_frames")),
                        num_cams=int(data.pop("s_num_cams")),
-                       num_points=int(data.pop("s_num_points")))
+                       num_points=int(data.pop("s_num_points")),
+                       point_width=int(data.pop("s_point_width")),
+                       frame_width=int(data.pop("s_frame_width")))
         return data, statics
 
     if os.environ.get("GLOMAP_BENCH_PREPARE") != "1":
@@ -68,14 +70,17 @@ def build_problem():
         scene, establish_full_tracks(scene, vg), topts)
     triangulate_tracks(scene, tracks)
     import jax.numpy as jnp
-    params, obs, statics = build_ba_inputs(scene, tracks, dtype=jnp.float32)
+    params, obs, statics = build_ba_inputs(scene, tracks, dtype=jnp.float32,
+                                           locality_order=True)
 
     data = {}
     for k, v in {**params, **obs}.items():
         data[k] = np.asarray(v)
     np.savez(CACHE, **data, s_num_frames=statics["num_frames"],
              s_num_cams=statics["num_cams"],
-             s_num_points=statics["num_points"])
+             s_num_points=statics["num_points"],
+             s_point_width=statics["point_width"],
+             s_frame_width=statics["frame_width"])
     return data, statics
 
 
@@ -103,11 +108,6 @@ def main():
 
     # Pallas fast path: the bench scene is distortion-free PINHOLE
     fast = bool((data["cam_params"][:, 4:16] == 0).all())
-    # sorted point axis -> Pallas sorted-segment reducer eligibility
-    point_width = 0
-    if np.all(np.diff(data["o_point"]) >= 0):
-        from glomap_tpu.ops.pallas_kernels import block_width_for_sorted
-        point_width = block_width_for_sorted(data["o_point"])
 
     def run(n_iters):
         out = _solve_ba(*args, num_frames=sizes["num_frames"],
@@ -116,7 +116,12 @@ def main():
                         huber_delta=1.0, function_tol=0.0,
                         max_iters=n_iters, cg_iters=30,
                         optimize_points=True, fast_path=fast,
-                        point_width=point_width)
+                        point_width=sizes["point_width"],
+                        frame_width=sizes["frame_width"],
+                        o_sensor=jnp.asarray(data["o_sensor"]),
+                        sensor_quat=jnp.asarray(data["sensor_quat"]),
+                        sensor_trans=jnp.asarray(data["sensor_trans"]),
+                        num_sensors=len(data["sensor_quat"]))
         float(out[4])  # host pull = hard sync (block_until_ready alone is
         # unreliable through the remote-execution tunnel)
         return out

@@ -72,6 +72,35 @@ def intrinsic_tie_matrix(model_id: int, optimize_intrinsics: bool,
     return T
 
 
+def order_obs_for_locality(o_frame, o_point, num_tracks: int):
+    """Renumber tracks by mean observing frame and order observations by
+    the new track id (host-side, once per solve).
+
+    Gives BOTH hot index axes bounded per-block id windows for the Pallas
+    windowed kernels: the point axis is sorted outright, and the frame
+    axis inherits capture locality (a track spans nearby frames in
+    sequential/spatial captures), so any 2048-obs block touches a small
+    frame window. Returns (obs_perm, point_perm, new_of_old): point
+    tables reindex as tab_new = tab_old[point_perm]; results map back
+    via X_old = X_new[new_of_old]."""
+    sums = np.bincount(o_point, weights=o_frame.astype(np.float64),
+                       minlength=num_tracks)
+    cnts = np.maximum(np.bincount(o_point, minlength=num_tracks), 1)
+    point_perm = np.argsort(sums / cnts, kind="stable")
+    new_of_old = np.empty(num_tracks, dtype=np.int64)
+    new_of_old[point_perm] = np.arange(num_tracks)
+    obs_perm = np.argsort(new_of_old[o_point], kind="stable")
+    return obs_perm, point_perm, new_of_old
+
+
+def _axis_window(ids_padded: np.ndarray, cap: int = 4096) -> int:
+    """Static kernel window for an id axis, or 0 if locality is too weak
+    for the windowed kernels to pay off."""
+    from glomap_tpu.ops.pallas_kernels import block_width_for_sorted
+    w = block_width_for_sorted(ids_padded)
+    return w if w <= cap else 0
+
+
 def _huber_weight(r2, delta):
     return jnp.where(r2 <= delta * delta, 1.0,
                      delta / jnp.sqrt(jnp.maximum(r2, 1e-30)))
@@ -113,7 +142,7 @@ _resid_and_jac_v = jax.vmap(_resid_and_jac,
                                    "num_sensors", "max_iters", "cg_iters",
                                    "optimize_points", "fast_path",
                                    "optimize_rig", "point_width",
-                                   "one_hot_budget"))
+                                   "frame_width", "one_hot_budget"))
 def _solve_ba(frame_quat, frame_trans, cam_params, points,
               # static per-obs data
               o_frame, o_cam, o_point, o_sensor_q, o_sensor_t, o_kind,
@@ -129,9 +158,10 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
               o_sensor=None, sensor_quat=None, sensor_trans=None,
               sensor_mask=None, num_sensors: int = 0,
               optimize_rig: bool = False,
-              # o_point is sorted ascending and any 2048-obs block spans
-              # at most `point_width` distinct points (0 = not sorted)
-              point_width: int = 0,
+              # any 2048-obs block spans at most `point_width` distinct
+              # points / `frame_width` distinct frames (0 = unbounded);
+              # see order_obs_for_locality
+              point_width: int = 0, frame_width: int = 0,
               one_hot_budget: int = 1 << 28):
     """Lane-major LM solver: all per-observation Jacobian data lives as
     (k, O) row stacks (observations in the 128-lane axis), never as
@@ -210,7 +240,7 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
             return tab.T[:, idx]
         return reduce, gather
 
-    reduce_f, gather_f = make_axis_ops(o_frame, num_frames)
+    reduce_f, gather_f = make_axis_ops(o_frame, num_frames, frame_width)
     reduce_c, gather_c = make_axis_ops(o_cam, num_cams)
     reduce_p, gather_p = make_axis_ops(o_point, num_points, point_width)
     if optimize_rig:
@@ -250,7 +280,9 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
     if use_tables:
         n_sens_t = max(num_sensors, 1)
         o_fs = o_frame * n_sens_t + o_sensor
-        _, gather_fs = make_axis_ops(o_fs, num_frames * n_sens_t)
+        # frame window of span w covers an fs window of span w * S
+        _, gather_fs = make_axis_ops(o_fs, num_frames * n_sens_t,
+                                     frame_width * n_sens_t)
         uvT_const = o_uv.T  # (2, O), constant
 
     def _persp_rows(fq, ft, sq, st, cp, X):
@@ -371,6 +403,30 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         # per-camera tie matrices (constant): post-reduction application
         T_t = jnp.swapaxes(cam_T, -1, -2)  # (C, 16, 16)
 
+        # The 16x16 camera-block builds (B_c and its Schur correction)
+        # need all 256 row products; materializing a (256, O) stack costs
+        # 1 GB per 1M observations. Above the budget, compute them as
+        # per-camera masked (rows, O) x (O, rows) MXU dots instead — no
+        # per-obs intermediates, exact same sums.
+        big_cam_blocks = num_obs * 256 * 4 > (1 << 31)
+
+        def cam_mask_row(c):
+            return (o_cam == c).astype(dtype)
+
+        def cam_block_16(A3, B3):
+            """sum_o A3[r,i,o] B3[r,j,o] per camera -> (C, 16, 16)."""
+            if not big_cam_blocks:
+                return reduce_c(jnp.stack(rows_mm(A3, B3, 16, 16))
+                                ).reshape(num_cams, 16, 16)
+            outs = []
+            for c in range(num_cams):
+                m = cam_mask_row(c)
+                Af = (A3 * m).reshape(32, num_obs)
+                Bf = B3.reshape(32, num_obs)
+                full = Af @ Bf.T  # (32, 32)
+                outs.append(full[0:16, 0:16] + full[16:32, 16:32])
+            return jnp.stack(outs)
+
         def tie_g(g_raw):  # (C, 16) -> tied
             return jnp.einsum("cij,cj->ci", T_t, g_raw)
 
@@ -388,8 +444,7 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         # block diagonals (whitened rows: no extra w factor)
         B_f = reduce_f(jnp.stack(rows_mm(Jf, Jf, 6, 6))).reshape(
             num_frames, 6, 6)
-        B_c = tie_B(reduce_c(jnp.stack(rows_mm(Jc, Jc, 16, 16))).reshape(
-            num_cams, 16, 16))
+        B_c = tie_B(cam_block_16(Jc, Jc))
         B_p = reduce_p(jnp.stack(rows_mm(Jp, Jp, 3, 3))).reshape(
             num_points, 3, 3)
 
@@ -493,9 +548,25 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
                            for i in range(k) for l in range(k)])
             return reduce_x(E)
 
+        def schur_corr_cam():
+            """The (16, 16) correction per camera without the (256, O)
+            stack: partial-trace of per-camera (48, 48) dots."""
+            if not big_cam_blocks:
+                return schur_corr(Jc, 16, reduce_c).reshape(
+                    num_cams, 16, 16)
+            C = jnp.stack(rows_mm(Jc, Jp, 16, 3))  # (48, O)
+            D = jnp.stack([sum(C[i * 3 + j] * Bpi_o[j * 3 + m]
+                               for j in range(3))
+                           for i in range(16) for m in range(3)])
+            outs = []
+            for c in range(num_cams):
+                EF = (D * cam_mask_row(c)) @ C.T  # (48, 48)
+                outs.append(jnp.einsum("imlm->il",
+                                       EF.reshape(16, 3, 16, 3)))
+            return jnp.stack(outs)
+
         S_f = B_f_d - schur_corr(Jf, 6, reduce_f).reshape(num_frames, 6, 6)
-        S_c = B_c_d - tie_B(
-            schur_corr(Jc, 16, reduce_c).reshape(num_cams, 16, 16))
+        S_c = B_c_d - tie_B(schur_corr_cam())
         Bf_inv = jnp.linalg.inv(S_f)
         Bc_inv = jnp.linalg.inv(S_c)
         if optimize_rig:
@@ -606,26 +677,32 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
     o_sensor = scene.image_sensor[o_img].astype(np.int32)
     kp = scene.kp_offset[o_img] + tracks.obs_feature[ob_ok]
 
+    # locality ordering: renumber tracks by mean frame, sort obs by the
+    # new track id — bounds the per-block id windows of BOTH hot index
+    # axes so the solver's Pallas windowed kernels apply (see
+    # order_obs_for_locality)
+    obs_perm, point_perm, new_of_old = order_obs_for_locality(
+        o_frame, o_point, tracks.num_tracks)
+    o_frame = o_frame[obs_perm]
+    o_cam = o_cam[obs_perm]
+    o_point = new_of_old[o_point[obs_perm]].astype(np.int32)
+    o_sensor = o_sensor[obs_perm]
+    o_img = o_img[obs_perm]
+    kp = kp[obs_perm]
+
     # bucket-pad the obs axis (and the point count) so repeated BA calls
     # across filter rounds reuse the compiled solver (padded rows carry
-    # zero weight -> exact no-ops)
+    # zero weight -> exact no-ops). Pads repeat the LAST id so the tail
+    # block's window stays bounded.
     from glomap_tpu.utils.padding import bucket_size, pad_axis0
     n_obs = len(o_img)
     n_obs_pad = bucket_size(n_obs)
     o_w_np = pad_axis0(np.ones(n_obs), n_obs_pad)
-    o_frame = pad_axis0(o_frame, n_obs_pad)
+    o_point = pad_axis0(o_point, n_obs_pad, fill=int(o_point[-1]))
+    o_frame = pad_axis0(o_frame, n_obs_pad, fill=int(o_frame[-1]))
     o_cam = pad_axis0(o_cam, n_obs_pad)
-    # track establishment emits observations grouped by track, so o_point
-    # is sorted — pad with the LAST id (keeps it sorted; padded rows have
-    # zero weight) and hand the solver the static block width that
-    # activates the Pallas sorted-segment reducer at scale
-    point_sorted = n_obs > 0 and bool(np.all(np.diff(o_point) >= 0))
-    pad_pt = int(o_point[-1]) if (point_sorted and n_obs) else 0
-    o_point = pad_axis0(o_point, n_obs_pad, fill=pad_pt)
-    point_width = 0
-    if point_sorted:
-        from glomap_tpu.ops.pallas_kernels import block_width_for_sorted
-        point_width = block_width_for_sorted(o_point)
+    point_width = _axis_window(o_point)
+    frame_width = _axis_window(o_frame)
     o_sensor = pad_axis0(o_sensor, n_obs_pad)
     o_sq = pad_axis0(scene.sensor_quat[scene.image_sensor[o_img]], n_obs_pad)
     o_sq[n_obs:, 0] = 1.0
@@ -633,7 +710,7 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
     o_kind_np = pad_axis0(scene.cam_kind[o_cam[:n_obs]], n_obs_pad)
     o_uv_np = pad_axis0(scene.kp_xy[kp], n_obs_pad)
     num_points_pad = bucket_size(tracks.num_tracks, 64)
-    points_np = pad_axis0(tracks.xyz, num_points_pad)
+    points_np = pad_axis0(tracks.xyz[point_perm], num_points_pad)
 
     # pose mask: gauge-fix the first registered frame (reference counter==0
     # case); apply optimize_rotations / optimize_translation flags
@@ -685,7 +762,7 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         sensor_mask=jnp.asarray(sensor_mask, dtype=dtype),
         num_sensors=num_sensors,
         optimize_rig=bool(opts.optimize_rig_poses),
-        point_width=point_width)
+        point_width=point_width, frame_width=frame_width)
 
     fq = np.asarray(fq, dtype=np.float64)
     ft = np.asarray(ft, dtype=np.float64)
@@ -701,5 +778,5 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         scene.sensor_quat[:] = np.asarray(sq, dtype=np.float64)
         scene.sensor_trans[:] = np.asarray(st, dtype=np.float64)
     if opts.optimize_points:
-        tracks.xyz[:] = X[:tracks.num_tracks]
+        tracks.xyz[:] = X[new_of_old]  # undo the locality renumbering
     return True

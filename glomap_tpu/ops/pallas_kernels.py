@@ -272,8 +272,8 @@ def ba_resid_jac_pinhole(fq, ft, sq, st, cpar, X, uv,
 
 
 def _sorted_seg_kernel(ids_ref, vals_ref, part_ref):
-    ids = ids_ref[0, :]  # (B,) int32, sorted
-    start = ids[0]
+    ids = ids_ref[0, :]  # (B,) int32; block spans < W distinct ids
+    start = jnp.min(ids)
     W = part_ref.shape[1]
     oh = (jax.lax.broadcasted_iota(jnp.int32, (W, ids.shape[0]), 0)
           + start) == ids[None, :]
@@ -317,7 +317,7 @@ def sorted_segment_rowsum(vals, ids, num_segments: int, width: int,
         interpret=interpret,
     )(ids.reshape(1, -1), vals)
 
-    starts = ids.reshape(nb, block)[:, 0:1]
+    starts = jnp.min(ids.reshape(nb, block), axis=1, keepdims=True)
     seg = (starts + jnp.arange(width, dtype=jnp.int32)[None, :]).reshape(-1)
     out = jax.ops.segment_sum(parts.reshape(nb * width, k), seg,
                               num_segments=num_segments + width)
@@ -325,10 +325,10 @@ def sorted_segment_rowsum(vals, ids, num_segments: int, width: int,
 
 
 def _sorted_gather_kernel(ids_ref, tab_ref, out_ref, *, win):
-    ids = ids_ref[0, :]  # (B,) int32, sorted
+    ids = ids_ref[0, :]  # (B,) int32; block spans < win - 128 distinct ids
     # lane-dim DMA offsets must be 128-aligned: round the window start
     # down (the window is sized with 128 slack for this)
-    start = pl.multiple_of((ids[0] // 128) * 128, 128)
+    start = pl.multiple_of((jnp.min(ids) // 128) * 128, 128)
 
     def body(scratch, sem):
         dma = pltpu.make_async_copy(tab_ref.at[:, pl.ds(start, win)],
@@ -391,8 +391,11 @@ def sorted_segment_gather(tab, ids, width: int, block: int = 2048,
 
 
 def block_width_for_sorted(ids: np.ndarray, block: int = 2048) -> int:
-    """Host helper: max distinct-id span of any `block`-sized chunk of a
-    sorted id array, bucketed to a power of two (static kernel arg)."""
+    """Host helper: max id span (max - min + 1) of any `block`-sized chunk,
+    bucketed to a power of two (static kernel arg). The kernels only need
+    each block's ids to fit a bounded window, not global sortedness — a
+    frame axis with capture locality (tracks renumbered by mean frame)
+    qualifies just like the sorted point axis."""
     n = len(ids)
     if n == 0:
         return 8
@@ -400,7 +403,7 @@ def block_width_for_sorted(ids: np.ndarray, block: int = 2048) -> int:
     if pad:
         ids = np.concatenate([ids, np.full(pad, ids[-1], ids.dtype)])
     chunks = ids.reshape(-1, block)
-    w = int((chunks[:, -1] - chunks[:, 0]).max()) + 1
+    w = int((chunks.max(axis=1) - chunks.min(axis=1)).max()) + 1
     b = 8
     while b < w:
         b *= 2

@@ -24,9 +24,14 @@ from glomap_tpu.scene.arrays import Scene, Tracks
 
 def build_ba_inputs(scene: Scene, tracks: Tracks,
                     opts: BundleAdjusterOptions | None = None,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, locality_order: bool = False):
     """Assemble the flat BA arrays (host-side), same logic as
-    solve_bundle_adjustment; returns (param_arrays, obs_arrays, statics)."""
+    solve_bundle_adjustment; returns (param_arrays, obs_arrays, statics).
+
+    locality_order=True applies order_obs_for_locality (tracks renumbered
+    by mean frame; the points table is permuted accordingly — callers
+    that write X back must not use it) and fills statics point_width /
+    frame_width for the single-chip Pallas windowed kernels."""
     opts = opts or BundleAdjusterOptions()
     lengths = np.bincount(tracks.obs_track[tracks.obs_valid],
                           minlength=tracks.num_tracks)
@@ -38,8 +43,25 @@ def build_ba_inputs(scene: Scene, tracks: Tracks,
     o_frame = scene.image_frame[o_img].astype(np.int32)
     o_cam = scene.image_camera[o_img].astype(np.int32)
     o_point = tracks.obs_track[ob_ok].astype(np.int32)
+    xyz = tracks.xyz
+    point_width = frame_width = 0
+    if locality_order:
+        from glomap_tpu.estimators.bundle_adjustment import (
+            _axis_window, order_obs_for_locality)
+        obs_perm, point_perm, new_of_old = order_obs_for_locality(
+            o_frame, o_point, tracks.num_tracks)
+        o_img = o_img[obs_perm]
+        o_frame = o_frame[obs_perm]
+        o_cam = o_cam[obs_perm]
+        o_point = new_of_old[o_point[obs_perm]].astype(np.int32)
+        xyz = tracks.xyz[point_perm]
+        point_width = _axis_window(o_point)
+        frame_width = _axis_window(o_frame)
+    feat = tracks.obs_feature[ob_ok]
+    if locality_order:
+        feat = feat[obs_perm]
     o_sensor = scene.image_sensor[o_img]
-    kp = scene.kp_offset[o_img] + tracks.obs_feature[ob_ok]
+    kp = scene.kp_offset[o_img] + feat
 
     F = scene.num_frames
     frame_mask = np.ones((F, 6))
@@ -61,33 +83,29 @@ def build_ba_inputs(scene: Scene, tracks: Tracks,
         frame_quat=np.asarray(scene.frame_quat, dtype),
         frame_trans=np.asarray(scene.frame_trans, dtype),
         cam_params=np.asarray(scene.cam_params, dtype),
-        points=np.asarray(tracks.xyz, dtype),
+        points=np.asarray(xyz, dtype),
         cam_T=np.asarray(cam_T, dtype),
         frame_mask=np.asarray(frame_mask, dtype),
     )
     obs = dict(
         o_frame=o_frame, o_cam=o_cam, o_point=o_point,
+        o_sensor=o_sensor.astype(np.int32),
         o_sensor_q=np.asarray(scene.sensor_quat[o_sensor], dtype),
         o_sensor_t=np.asarray(scene.sensor_trans[o_sensor], dtype),
         o_kind=scene.cam_kind[o_cam],
         o_uv=np.asarray(scene.kp_xy[kp], dtype),
         o_w=np.ones(len(o_img), dtype),
     )
-    # sorted-point-axis metadata for the Pallas segment reducer (single
-    # chip only: a pallas_call is opaque to the SPMD partitioner, so the
-    # sharded entry point below zeroes this out)
-    point_width = 0
-    if len(o_point) and bool(np.all(np.diff(o_point) >= 0)):
-        from glomap_tpu.ops.pallas_kernels import block_width_for_sorted
-        point_width = block_width_for_sorted(o_point)
-
+    params["sensor_quat"] = np.asarray(scene.sensor_quat, dtype)
+    params["sensor_trans"] = np.asarray(scene.sensor_trans, dtype)
     statics = dict(num_frames=F, num_cams=scene.num_cameras,
                    num_points=tracks.num_tracks,
                    huber_delta=float(opts.thres_loss_function),
                    function_tol=float(opts.function_tolerance),
                    max_iters=int(opts.max_num_iterations), cg_iters=30,
                    optimize_points=bool(opts.optimize_points),
-                   point_width=point_width)
+                   point_width=point_width, frame_width=frame_width,
+                   num_sensors=len(scene.sensor_quat))
     return params, obs, statics
 
 
@@ -101,6 +119,7 @@ def solve_ba_sharded(scene: Scene, tracks: Tracks, mesh=None,
     n_dev = np.prod([mesh.shape[a] for a in mesh.axis_names])
     params, obs, statics = build_ba_inputs(scene, tracks, opts, dtype)
     statics["point_width"] = 0  # pallas_call is opaque to SPMD sharding
+    statics["frame_width"] = 0
     # pad obs to a multiple of the device count (padded rows carry w = 0
     # and index 0 everywhere -> harmless)
     obs = meshmod.pad_to_multiple(obs, int(n_dev))
@@ -114,7 +133,9 @@ def solve_ba_sharded(scene: Scene, tracks: Tracks, mesh=None,
         obs_sharded["o_point"], obs_sharded["o_sensor_q"],
         obs_sharded["o_sensor_t"], obs_sharded["o_kind"],
         obs_sharded["o_uv"], params_repl["cam_T"], obs_sharded["o_w"],
-        params_repl["frame_mask"], **statics)
+        params_repl["frame_mask"], o_sensor=obs_sharded["o_sensor"],
+        sensor_quat=params_repl["sensor_quat"],
+        sensor_trans=params_repl["sensor_trans"], **statics)
 
     scene.frame_quat[:] = np.asarray(fq, np.float64)
     scene.frame_trans[:] = np.asarray(ft, np.float64)

@@ -32,7 +32,6 @@ def prepare(args, path):
     the scale bench measures the solver, not track establishment. Each
     point is observed by a contiguous run of frames along the ring — the
     visibility structure of a sequential capture."""
-    from glomap_tpu.ops.pallas_kernels import block_width_for_sorted
 
     rng = np.random.default_rng(11)
     F, T = args.frames, args.points
@@ -53,16 +52,28 @@ def prepare(args, path):
     t = -np.einsum("fij,fj->fi", R, centers)
     X = rng.uniform(-2.5, 2.5, (T, 3))
 
-    # observations: point i seen by frames [f0, f0 + L)
+    # observations: point i seen by frames [f0, f0 + L) (no wraparound —
+    # a sequential capture's locality structure)
     L = obs_per_point
-    f0 = rng.integers(0, F, T)
+    f0 = rng.integers(0, max(F - L, 1), T)
     o_point = np.repeat(np.arange(T, dtype=np.int32), L)
-    o_frame = ((f0[:, None] + np.arange(L)[None, :]) % F).reshape(-1)
-    o_frame = o_frame.astype(np.int32)
+    o_frame = (f0[:, None] + np.arange(L)[None, :]).reshape(-1)
+    o_frame = np.minimum(o_frame, F - 1).astype(np.int32)
     xc = np.einsum("oij,oj->oi", R[o_frame], X[o_point]) + t[o_frame]
     uv = np.stack([fx * xc[:, 0] / xc[:, 2] + cx,
                    fy * xc[:, 1] / xc[:, 2] + cy], axis=1)
     uv += 0.5 * rng.standard_normal(uv.shape)
+
+    # locality ordering (tracks renumbered by mean frame) bounds the
+    # per-block windows of both index axes for the Pallas kernels
+    from glomap_tpu.estimators.bundle_adjustment import (_axis_window,
+                                                         order_obs_for_locality)
+    obs_perm, point_perm, new_of_old = order_obs_for_locality(
+        o_frame, o_point, T)
+    o_frame = o_frame[obs_perm]
+    o_point = new_of_old[o_point[obs_perm]].astype(np.int32)
+    uv = uv[obs_perm]
+    X = X[point_perm]
 
     from glomap_tpu.math import rotation as rotm
     import jax.numpy as jnp
@@ -86,6 +97,9 @@ def prepare(args, path):
         cam_T=cam_T.astype(np.float32),
         frame_mask=frame_mask.astype(np.float32),
         o_frame=o_frame, o_cam=np.zeros(O, np.int32), o_point=o_point,
+        o_sensor=np.zeros(O, np.int32),
+        sensor_quat=np.asarray([[1.0, 0, 0, 0]], np.float32),
+        sensor_trans=np.zeros((1, 3), np.float32),
         o_sensor_q=np.tile([1, 0, 0, 0], (O, 1)).astype(np.float32),
         o_sensor_t=np.zeros((O, 3), np.float32),
         o_kind=np.zeros(O, np.int8),
@@ -93,7 +107,8 @@ def prepare(args, path):
         o_w=np.ones(O, np.float32),
     )
     np.savez(path, **data, s_num_frames=F, s_num_cams=1, s_num_points=T,
-             s_point_width=block_width_for_sorted(o_point))
+             s_point_width=_axis_window(o_point),
+             s_frame_width=_axis_window(o_frame))
     print(f"# prepared {O} obs, {T} points, {F} frames", file=sys.stderr)
 
 
@@ -136,9 +151,10 @@ def main():
                  num_cams=int(data.pop("s_num_cams")),
                  num_points=int(data.pop("s_num_points")))
     point_width = int(data.pop("s_point_width"))
+    frame_width = int(data.pop("s_frame_width"))
     num_obs = len(data["o_frame"])
     print(f"# {sizes['num_frames']} frames, {sizes['num_points']} points, "
-          f"{num_obs} obs, point_width {point_width}, "
+          f"{num_obs} obs, widths p{point_width}/f{frame_width}, "
           f"device {jax.devices()[0]}", file=sys.stderr)
 
     a = {k: jnp.asarray(v) for k, v in data.items()}
@@ -155,7 +171,10 @@ def main():
                         huber_delta=1.0, function_tol=0.0,
                         max_iters=n_iters, cg_iters=30,
                         optimize_points=True, fast_path=fast,
-                        point_width=point_width)
+                        point_width=point_width, frame_width=frame_width,
+                        o_sensor=a["o_sensor"],
+                        sensor_quat=a["sensor_quat"],
+                        sensor_trans=a["sensor_trans"], num_sensors=1)
         float(out[4])
         return out
 

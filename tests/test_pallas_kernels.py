@@ -142,8 +142,10 @@ def test_ba_point_width_path_matches_default():
     tracks = find_tracks_for_problem(scene, establish_full_tracks(scene, vg))
     triangulate_tracks(scene, tracks)
     params, obs, statics = build_ba_inputs(scene, tracks,
-                                           dtype=jnp.float64)
-    assert statics["point_width"] > 0  # obs really are sorted by track
+                                           dtype=jnp.float64,
+                                           locality_order=True)
+    assert statics["point_width"] > 0
+    assert statics["frame_width"] > 0
     statics["max_iters"] = 3
 
     def run(pw):
@@ -165,3 +167,50 @@ def test_ba_point_width_path_matches_default():
     for a, b in zip(out_def[:4], out_pw[:4]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-8, atol=1e-10)
+
+
+def test_windowed_segment_kernels_unsorted_within_block():
+    """The kernels only need bounded per-block windows, not sortedness —
+    the frame axis after locality ordering is exactly this case."""
+    rng = np.random.default_rng(7)
+    n, t, k, block = 4096, 300, 6, 512
+    # ids wander inside a sliding window (unsorted within blocks)
+    base = np.repeat(np.arange(0, t - 40, (t - 40) // (n // block + 1) + 1),
+                     block)[:n]
+    ids = (base + rng.integers(0, 40, n)).astype(np.int32)
+    vals = rng.standard_normal((k, n))
+    width = pk.block_width_for_sorted(ids, block=block)
+    assert width < t
+    ref = np.zeros((t, k))
+    np.add.at(ref, ids, vals.T)
+    out = np.asarray(pk.sorted_segment_rowsum(
+        jnp.asarray(vals), jnp.asarray(ids), t, width, block=block,
+        interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-9)
+
+    tab = rng.standard_normal((t, k))
+    g = np.asarray(pk.sorted_segment_gather(
+        jnp.asarray(tab), jnp.asarray(ids), width, block=block,
+        interpret=True))
+    np.testing.assert_allclose(g, tab[ids].T, rtol=1e-12)
+
+
+def test_order_obs_for_locality_roundtrip():
+    from glomap_tpu.estimators.bundle_adjustment import (
+        _axis_window, order_obs_for_locality)
+    rng = np.random.default_rng(8)
+    T, F = 500, 200
+    lens = rng.integers(3, 12, T)
+    o_point = np.repeat(np.arange(T, dtype=np.int32), lens)
+    f0 = rng.integers(0, F - 12, T)
+    o_frame = (np.repeat(f0, lens) +
+               rng.integers(0, 12, len(o_point))).astype(np.int32)
+    perm, point_perm, new_of_old = order_obs_for_locality(
+        o_frame, o_point, T)
+    op = new_of_old[o_point[perm]]
+    assert np.all(np.diff(op) >= 0)          # point axis sorted
+    assert _axis_window(o_frame[perm].astype(np.int32), cap=4096) <= 256
+    # inverse mapping: X_old == X_new[new_of_old]
+    X_old = rng.standard_normal((T, 3))
+    X_new = X_old[point_perm]
+    np.testing.assert_array_equal(X_new[new_of_old], X_old)
