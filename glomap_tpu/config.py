@@ -126,6 +126,11 @@ class TriangulatorOptions:
     tri_merge_max_reproj_error: float = 15.0
     tri_min_angle: float = 1.0
     min_num_matches: int = 15
+    # colmap IncrementalTriangulator::Options::create_max_angle_error,
+    # the angular support threshold of the RANSAC triangulation the
+    # reference runs inside TriangulateImage
+    tri_create_max_angle_error: float = 2.0
+    tri_ransac_hypotheses: int = 16
 
 
 @dataclass

@@ -7,7 +7,8 @@ runs IncrementalMapper::TriangulateImage per image + CompleteAndMergeTracks
 and colmap BA refinement rounds. In the flat-array design the transitive
 match closure (union-find over ALL inlier matches) already performs
 complete+merge, so retriangulation becomes: re-establish full tracks ->
-batched midpoint triangulation -> reprojection / min-angle acceptance
+batched per-track two-view RANSAC triangulation (colmap
+EstimateTriangulation counterpart) -> reprojection / min-angle acceptance
 (tri_complete_max_reproj_error = 15 px, tri_min_angle = 1 deg) -> one
 clean re-triangulation round. BA refinement runs in the caller
 (controllers/global_mapper.py stage 7), mirroring the reference.
@@ -21,7 +22,8 @@ import numpy as np
 
 from glomap_tpu.config import TriangulatorOptions
 from glomap_tpu.controllers.track_establishment import establish_full_tracks
-from glomap_tpu.ops.triangulation import triangulate_tracks
+from glomap_tpu.ops.triangulation import (ransac_triangulate_tracks,
+                                          triangulate_tracks)
 from glomap_tpu.processors import track_filter as tf
 from glomap_tpu.processors.undistortion import undistort_images
 from glomap_tpu.scene.arrays import Scene, Tracks
@@ -41,7 +43,14 @@ def retriangulate_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
     reg = scene.frame_registered[scene.image_frame]
     new_tracks.obs_valid &= reg[new_tracks.obs_image]
 
-    ok = triangulate_tracks(scene, new_tracks)
+    # robust creation: per-track two-view RANSAC with angular support
+    # (counterpart of colmap EstimateTriangulation inside TriangulateImage;
+    # outlier observations in the transitive match closure are masked)
+    ok = ransac_triangulate_tracks(
+        scene, new_tracks,
+        max_angle_error_deg=opts.tri_create_max_angle_error,
+        min_tri_angle_deg=opts.tri_min_angle,
+        num_hyps=opts.tri_ransac_hypotheses)
     new_tracks.valid &= ok
 
     # acceptance: pixel-space reprojection below the (loose) completion

@@ -43,6 +43,166 @@ def midpoint_triangulate(obs_track, d, c, w, num_tracks: int):
     return X, ok
 
 
+def _hash_u32(x):
+    """Deterministic integer mix (Knuth multiplicative); replaces
+    data-dependent RNG inside jit (Date-free, resume-safe)."""
+    x = x.astype(jnp.uint32)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+@partial(jax.jit, static_argnames=("num_tracks", "num_hyps"))
+def ransac_triangulate(obs_track, d, c, t_start, t_len, num_tracks: int,
+                       num_hyps: int, cos_err_thresh, min_pair_angle_rad):
+    """Robust multi-view triangulation: per-track two-view RANSAC.
+
+    TPU-native counterpart of colmap::EstimateTriangulation (LO-RANSAC over
+    observation pairs with angular-error support), which the reference's
+    retriangulation stage runs per point via IncrementalMapper::
+    TriangulateImage (glomap/controllers/track_retriangulation.cc:63-80).
+    Instead of per-point adaptive RANSAC, every track evaluates the same
+    static budget of `num_hyps` deterministically-sampled observation
+    pairs in one batched sweep: two-view midpoint hypotheses (T,3) per
+    round, angular-support scoring of ALL observations against their
+    track's hypothesis via one segment-sum, best-hypothesis selection by
+    running max. Shapes are static; the obs axis is assumed sorted by
+    track (track_establishment emits sorted obs).
+
+    Args:
+      obs_track (O,) int32 sorted; d (O,3) unit world ray directions;
+      c (O,3) camera centers; t_start/t_len (T,) int32 segment offsets;
+      cos_err_thresh: cos of max angular reprojection error (support);
+      min_pair_angle_rad: minimum triangulation angle of the sample pair.
+    Returns (X (T,3), support (T,), inlier (O,)).
+    """
+    dtype = d.dtype
+    tids = jnp.arange(num_tracks, dtype=jnp.uint32)
+    len_ = jnp.maximum(t_len, 1)
+    len1 = jnp.maximum(t_len - 1, 1)
+    cos_max_pair = jnp.cos(jnp.asarray(min_pair_angle_rad, dtype))
+    # per-track enumeration offsets: short tracks sweep ALL ordered pairs
+    # systematically (k < len*(len-1) is exhaustive); the hash phase
+    # decorrelates which window long tracks explore
+    h1 = (_hash_u32(tids * jnp.uint32(9781) + jnp.uint32(1))
+          ).astype(jnp.int32) & 0x7FFFFFFF
+    h2 = (_hash_u32(tids * jnp.uint32(7919) + jnp.uint32(7))
+          ).astype(jnp.int32) & 0x7FFFFFFF
+
+    def score(X):
+        v = X[obs_track] - c
+        vn = jnp.linalg.norm(v, axis=-1)
+        cos = jnp.sum(v * d, axis=-1) / jnp.maximum(vn, 1e-12)
+        inl = (cos > cos_err_thresh) & (vn > 1e-12)
+        sup = jax.ops.segment_sum(inl.astype(jnp.int32), obs_track,
+                                  num_segments=num_tracks)
+        margin = jnp.where(inl, cos - cos_err_thresh, 0.0).astype(dtype)
+        msum = jax.ops.segment_sum(margin, obs_track,
+                                   num_segments=num_tracks)
+        return sup, inl, margin, msum
+
+    def hypothesis(k):
+        i1 = (h1 + k // len1) % len_
+        i2 = (i1 + 1 + (h2 + k) % len1) % len_
+        o1 = jnp.clip(t_start + i1, 0, len(obs_track) - 1)
+        o2 = jnp.clip(t_start + i2, 0, len(obs_track) - 1)
+        d1, c1 = d[o1], c[o1]
+        d2, c2 = d[o2], c[o2]
+        # two-view ray midpoint: min_{s,t} |c1 + s d1 - c2 - t d2|
+        b = c2 - c1
+        d12 = jnp.sum(d1 * d2, axis=-1)
+        denom = 1.0 - d12 * d12
+        bd1 = jnp.sum(b * d1, axis=-1)
+        bd2 = jnp.sum(b * d2, axis=-1)
+        s = (bd1 - d12 * bd2) / jnp.maximum(denom, 1e-12)
+        t = (d12 * bd1 - bd2) / jnp.maximum(denom, 1e-12)
+        X = 0.5 * (c1 + s[:, None] * d1 + c2 + t[:, None] * d2)
+        # eligibility: pair parallax above min angle, both depths positive
+        # (cheirality, colmap TriangulatePoint), track has >= 2 obs
+        ok = ((jnp.abs(d12) < cos_max_pair) & (s > 0) & (t > 0)
+              & (t_len >= 2))
+        return X, ok, o1, o2
+
+    def body(carry, k):
+        best_score, best_sup, best_X = carry
+        X, ok, o1, o2 = hypothesis(k)
+        sup, inl, margin, msum = score(X)
+        # rank by support OUTSIDE the sample pair (a bad pair always
+        # self-supports with 2), tie-broken by consensus tightness; the
+        # margin sum is < 1 by construction (<= O_max * (1 - cos_thresh))
+        sup_ex = (sup - inl[o1].astype(jnp.int32)
+                  - inl[o2].astype(jnp.int32)).astype(dtype)
+        msum_ex = msum - margin[o1] - margin[o2]
+        sc = jnp.where(ok, sup_ex + msum_ex / (1.0 + msum_ex), -1.0)
+        better = sc > best_score
+        best_X = jnp.where(better[:, None], X, best_X)
+        best_sup = jnp.where(better, sup, best_sup)
+        best_score = jnp.maximum(best_score, sc)
+        return (best_score, best_sup, best_X), None
+
+    init = (jnp.full((num_tracks,), -jnp.inf, dtype),
+            jnp.zeros((num_tracks,), jnp.int32),
+            jnp.zeros((num_tracks, 3), dtype))
+    (_, best_sup, best_X), _ = jax.lax.scan(body, init,
+                                            jnp.arange(num_hyps))
+    # local refinement: weighted midpoint over the winning consensus set
+    _, inl, _, _ = score(best_X)
+    X_ref, ok_ref = midpoint_triangulate(obs_track, d, c,
+                                         inl.astype(dtype), num_tracks)
+    refine = ok_ref & (best_sup >= 2)
+    X_out = jnp.where(refine[:, None], X_ref, best_X)
+    sup2, inl2, _, _ = score(X_out)
+    worse = sup2 < best_sup  # keep the RANSAC point if refinement regressed
+    X_out = jnp.where(worse[:, None], best_X, X_out)
+    sup_out = jnp.where(worse, best_sup, sup2)
+    inl_out = jnp.where(worse[obs_track], inl, inl2)
+    return X_out, sup_out, inl_out
+
+
+def ransac_triangulate_tracks(scene: Scene, tracks: Tracks, dtype=None,
+                              max_angle_error_deg: float = 2.0,
+                              min_tri_angle_deg: float = 1.0,
+                              num_hyps: int = 16) -> np.ndarray:
+    """Robustly fill tracks.xyz; marks outlier observations invalid.
+
+    Returns the per-track success mask (support >= 2). Observations are
+    assumed sorted by track within the valid subset (track_establishment
+    order).
+    """
+    from glomap_tpu.utils.dtypes import solver_dtype
+    dtype = dtype or solver_dtype()
+    if tracks.num_obs == 0:
+        return np.zeros(tracks.num_tracks, dtype=bool)
+    ob = tracks.obs_valid & tracks.valid[tracks.obs_track]
+    o_idx = np.nonzero(ob)[0]
+    if len(o_idx) == 0:
+        return np.zeros(tracks.num_tracks, dtype=bool)
+    o_img = tracks.obs_image[o_idx]
+    kp = scene.kp_offset[o_img] + tracks.obs_feature[o_idx]
+    q_img, t_img = scene.image_cam_from_world()
+    q = jnp.asarray(q_img[o_img], dtype=dtype)
+    d = rotm.quat_rotate(rotm.quat_conj(q),
+                         jnp.asarray(scene.kp_ray[kp], dtype=dtype))
+    centers = scene.image_centers()[o_img]
+    ot = tracks.obs_track[o_idx].astype(np.int32)
+    # segment offsets (obs sorted by track; empty tracks get len 0)
+    t_len = np.bincount(ot, minlength=tracks.num_tracks).astype(np.int32)
+    t_start = (np.concatenate([[0], np.cumsum(t_len)[:-1]])).astype(np.int32)
+    X, sup, inl = ransac_triangulate(
+        jnp.asarray(ot), d, jnp.asarray(centers, dtype=dtype),
+        jnp.asarray(t_start), jnp.asarray(t_len), tracks.num_tracks,
+        num_hyps, float(np.cos(np.deg2rad(max_angle_error_deg))),
+        float(np.deg2rad(min_tri_angle_deg)))
+    X = np.asarray(X, dtype=np.float64)
+    sup = np.asarray(sup)
+    ok = sup >= 2
+    tracks.xyz[:] = np.where(ok[:, None], X, tracks.xyz)
+    inl = np.asarray(inl)
+    drop = o_idx[~inl & ok[ot]]
+    tracks.obs_valid[drop] = False
+    return ok
+
+
 def triangulate_tracks(scene: Scene, tracks: Tracks,
                        dtype=None) -> np.ndarray:
     """Fill tracks.xyz from current poses + rays; returns per-track
