@@ -136,6 +136,109 @@ def _irls_phase(quats, fi, fj, q_rel, base_w, edge_valid, fixed,
     return q, it
 
 
+@partial(jax.jit, static_argnames=("num_frames", "max_outer"))
+def _l1_admm_phase(quats, fi, fj, q_rel, base_w, edge_valid, fixed,
+                   num_frames: int, max_outer: int, conv_thresh: float):
+    """Exact L1 phase: ADMM on min ||diag(w)(A x - r)||_1 per outer round.
+
+    Counterpart of SolveL1Regression (global_rotation_averaging.cc:479-538)
+    + colmap::LeastAbsoluteDeviationSolver: the reference caches ONE
+    CHOLMOD factorization of A^T A for the whole phase and runs Boyd-style
+    ADMM (x-solve, elementwise shrinkage, dual ascent) with an inner
+    iteration cap that doubles 10 -> 100 across outer rounds. Here
+    A^T A = Laplacian(w^2) (x) I3, so the cached factor is ONE dense
+    Cholesky of the pinned F x F Laplacian on the MXU; every inner
+    iteration is a triangular solve with 3 rhs columns plus O(E)
+    gather/segment-sum — all inside one jitted while_loop. Returns
+    (quats, outer_iters).
+    """
+    dtype = quats.dtype
+    w = jnp.where(edge_valid, base_w, 0.0).astype(dtype)
+    rho, alpha = 1.0, 1.0  # colmap LeastAbsoluteDeviationSolver defaults
+    abs_tol, rel_tol = 1e-4, 1e-2
+    num_rows = 3.0 * len(w)
+    num_cols = 3.0 * num_frames
+
+    keep = jnp.ones((num_frames,), dtype=dtype).at[fixed].set(0.0)
+    L = linear.build_laplacian_dense(fi, fj, w * w, num_frames)
+    scale = jnp.maximum(jnp.mean(jnp.diag(L)), 1.0)
+    L = L + (1e-10 * scale) * jnp.eye(num_frames, dtype=dtype)
+    L, _ = linear.pin_node(L, jnp.zeros((num_frames, 1), dtype), fixed)
+    cfac = jax.scipy.linalg.cho_factor(L)
+
+    def At(v):  # (E,3) -> (F,3); fixed row zeroed (gauge)
+        out = jnp.zeros((num_frames, 3), dtype)
+        out = out.at[fi].add(w[:, None] * v)
+        out = out.at[fj].add(-w[:, None] * v)
+        return out * keep[:, None]
+
+    def Ax(x):
+        xk = x * keep[:, None]
+        return w[:, None] * (xk[fi] - xk[fj])
+
+    def residuals(q):
+        qe = rotm.quat_mul(rotm.quat_conj(q[fj]),
+                           rotm.quat_mul(q_rel, q[fi]))
+        return rotm.quat_to_angle_axis(qe)
+
+    def shrink(v, kappa):
+        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - kappa, 0.0)
+
+    def admm(b, inner_cap):
+        bnorm = jnp.linalg.norm(b)
+
+        def cond(st):
+            x, z, u, z_old, it = st
+            pri = jnp.linalg.norm(Ax(x) - z - b)
+            dua = jnp.linalg.norm(rho * At(z - z_old))
+            eps_pri = (jnp.sqrt(num_rows) * abs_tol + rel_tol *
+                       jnp.maximum(jnp.maximum(jnp.linalg.norm(Ax(x)),
+                                               jnp.linalg.norm(z)), bnorm))
+            eps_dua = (jnp.sqrt(num_cols) * abs_tol +
+                       rel_tol * jnp.linalg.norm(rho * At(u)))
+            done = (it > 0) & (pri <= eps_pri) & (dua <= eps_dua)
+            return (it < inner_cap) & ~done
+
+        def body(st):
+            x, z, u, _, it = st
+            x = jax.scipy.linalg.cho_solve(cfac, At(b + z - u))
+            ax = alpha * Ax(x) + (1.0 - alpha) * (z + b)
+            z_new = shrink(ax - b + u, 1.0 / rho)
+            u = u + ax - b - z_new
+            return (x, z_new, u, z, it + 1)
+
+        z0 = jnp.zeros_like(b)
+        x0 = jnp.zeros((num_frames, 3), dtype)
+        x, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (x0, z0, z0, z0, jnp.asarray(0)))
+        return x
+
+    def outer_body(state):
+        q, it, _, inner_cap, last_norm = state
+        e = residuals(q)
+        # rows: w (e + x_i - x_j)  =>  b = -w e
+        x = admm(-w[:, None] * e, inner_cap)
+        q_new = rotm.quat_normalize(
+            rotm.quat_mul(q, rotm.so3_exp_quat(x.astype(dtype))))
+        step = jnp.sum(jnp.linalg.norm(x, axis=-1)) / (num_frames - 1)
+        cur_norm = jnp.linalg.norm(x)
+        # the reference stalls out when the step norm stops changing
+        stalled = jnp.abs(cur_norm - last_norm) < 1e-12
+        step = jnp.where(stalled, 0.0, step)
+        return (q_new, it + 1, step,
+                jnp.minimum(inner_cap * 2, 100), cur_norm)
+
+    def outer_cond(state):
+        _, it, last_step, _, _ = state
+        return (it < max_outer) & (last_step > conv_thresh)
+
+    q, it, _, _, _ = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (quats, 0, jnp.asarray(jnp.inf, dtype), jnp.asarray(10),
+         jnp.asarray(jnp.inf, dtype)))
+    return q, it
+
+
 def _init_from_mst(num_frames, fi, fj, q_rel, weights):
     """Compose relative rotations along the max spanning tree (host).
 
@@ -281,18 +384,27 @@ def estimate_rotations(scene, view_graph,
                    if opts.weight_type == "GEMAN_MCCLURE" else
                    WEIGHT_HALF_NORM)
 
-    # Phase 1 — L1 (robust against outlier edges). A reference "L1
-    # iteration" is a FULL ADMM solve (~1000 inner steps,
-    # global_rotation_averaging.cc:479-538); our sweeps are single
-    # reweighted solves, so we run more of them, with a minimum-iteration
-    # floor and a tighter per-sweep step threshold (L1-IRLS steps can be
-    # transiently tiny far from the optimum when outlier subtrees conflict).
-    quats, _ = _irls_phase(
-        quats, fi_d, fj_d, q_rel_d, base_w_d, valid_d, root, num_frames,
-        max_iters=max(10 * opts.max_num_l1_iterations, 50),
-        weight_mode=WEIGHT_L1, sigma_rad=sigma_rad,
-        conv_thresh=0.1 * opts.l1_step_convergence_threshold,
-        use_dense=use_dense, min_iters=10, grav_mask=grav_mask_d)
+    # Phase 1 — L1 (robust against outlier edges). On the dense
+    # unconstrained path this is the reference's exact algorithm: Boyd
+    # ADMM against one cached Cholesky factor per phase
+    # (global_rotation_averaging.cc:479-538). Gravity-constrained or
+    # beyond-dense graphs fall back to L1-IRLS sweeps (same objective as
+    # a fixed-point iteration; projected-CG solves), with a
+    # minimum-iteration floor and a tighter per-sweep step threshold
+    # (L1-IRLS steps can be transiently tiny far from the optimum when
+    # outlier subtrees conflict).
+    if use_dense and grav_mask_d is None:
+        quats, _ = _l1_admm_phase(
+            quats, fi_d, fj_d, q_rel_d, base_w_d, valid_d, root,
+            num_frames, max_outer=opts.max_num_l1_iterations,
+            conv_thresh=opts.l1_step_convergence_threshold)
+    else:
+        quats, _ = _irls_phase(
+            quats, fi_d, fj_d, q_rel_d, base_w_d, valid_d, root, num_frames,
+            max_iters=max(10 * opts.max_num_l1_iterations, 50),
+            weight_mode=WEIGHT_L1, sigma_rad=sigma_rad,
+            conv_thresh=0.1 * opts.l1_step_convergence_threshold,
+            use_dense=use_dense, min_iters=10, grav_mask=grav_mask_d)
 
     # Phase 2 — reweighted least squares (Geman-McClure / half-norm).
     quats, _ = _irls_phase(

@@ -121,3 +121,50 @@ def test_cg_path_matches_dense():
     errs = pairwise_rotation_errors_deg(scene_dense.frame_quat,
                                         scene_cg.frame_quat)
     assert errs.max() < 0.05
+
+
+def _l1_objective(quats, fi, fj, q_rel, w):
+    qe = rotm.quat_mul(rotm.quat_conj(jnp.asarray(quats)[fj]),
+                       rotm.quat_mul(jnp.asarray(q_rel),
+                                     jnp.asarray(quats)[fi]))
+    e = np.asarray(rotm.quat_to_angle_axis(qe))
+    return float(np.sum(np.abs(w[:, None] * e)))
+
+
+def test_l1_admm_phase_minimizes_l1_objective():
+    """The ADMM phase (reference SolveL1Regression counterpart) must reach
+    an L1 objective at least as good as the IRLS-L1 fixed-point fallback,
+    starting from the same MST initialization."""
+    import glomap_tpu.estimators.rotation_averaging as ra
+
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=20, num_points3D=200, seed=11))
+    rng = np.random.default_rng(4)
+    _perturb_pairs(vg, rng, noise_deg=1.0, outlier_ratio=0.3)
+
+    fi, fj, q_rel, w = ra.build_frame_edges(scene, vg)
+    quats0, root = ra._init_from_mst(scene.num_frames, fi, fj, q_rel, w)
+    n = scene.num_frames
+    ones = jnp.ones(len(fi))
+    valid = jnp.ones(len(fi), dtype=bool)
+    args = (jnp.asarray(quats0), jnp.asarray(fi), jnp.asarray(fj),
+            jnp.asarray(q_rel), ones, valid, root)
+
+    q_admm, it = ra._l1_admm_phase(*args, num_frames=n, max_outer=5,
+                                   conv_thresh=1e-3)
+    assert int(it) >= 1
+    q_irls, _ = ra._irls_phase(*args, num_frames=n, max_iters=50,
+                               weight_mode=ra.WEIGHT_L1, sigma_rad=0.1,
+                               conv_thresh=1e-4, use_dense=True,
+                               min_iters=10)
+    w1 = np.ones(len(fi))
+    obj_admm = _l1_objective(np.asarray(q_admm), fi, fj, q_rel, w1)
+    obj_irls = _l1_objective(np.asarray(q_irls), fi, fj, q_rel, w1)
+    obj_init = _l1_objective(quats0, fi, fj, q_rel, w1)
+    assert obj_admm < obj_init
+    assert obj_admm <= obj_irls * 1.05
+
+    # and the rotations themselves are already in the right basin
+    errs = pairwise_rotation_errors_deg(np.asarray(q_admm),
+                                        gt["frame_quat"])
+    assert errs.mean() < 2.0
