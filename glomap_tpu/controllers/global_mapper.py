@@ -42,6 +42,15 @@ class GlobalMapper:
         """Run the pipeline; mutates scene/view_graph, returns tracks
         (or None on failure)."""
         opt = self.options
+        # optional device mesh: shards the observation/edge axes of every
+        # solver across chips (SPMD collectives over ICI, SURVEY.md §2.3)
+        mesh = None
+        if opt.device_mesh_shape:
+            import numpy as _np
+            from glomap_tpu.parallel.mesh import make_mesh
+            n_dev = int(_np.prod(opt.device_mesh_shape))
+            mesh = make_mesh(n_dev)
+            logger.info("solvers run on a %d-device mesh", n_dev)
         from glomap_tpu.utils.profiling import StageTimer
         timer = StageTimer()
         self.timer = timer
@@ -101,13 +110,15 @@ class GlobalMapper:
             ra_opts = RotationAveragerOptions(**{
                 f: getattr(opt.opt_ra, f)
                 for f in opt.opt_ra.__dataclass_fields__})
-            solve_rotation_averaging(scene, view_graph, ra_opts)
+            solve_rotation_averaging(scene, view_graph, ra_opts,
+                                     mesh=mesh)
             rpf.filter_rotations(scene, view_graph,
                                  opt.inlier_thresholds.max_rotation_error)
             if view_graph.keep_largest_connected_component(scene) == 0:
                 logger.error("no connected components are found")
                 return None
-            if not solve_rotation_averaging(scene, view_graph, ra_opts):
+            if not solve_rotation_averaging(scene, view_graph, ra_opts,
+                                     mesh=mesh):
                 return None
             rpf.filter_rotations(scene, view_graph,
                                  opt.inlier_thresholds.max_rotation_error)
@@ -138,7 +149,7 @@ class GlobalMapper:
                 return None
             undistort_images(scene)
             if not solve_global_positioning(scene, view_graph, tracks,
-                                            opt.opt_gp):
+                                            opt.opt_gp, mesh=mesh):
                 return None
             tf.filter_tracks_by_angle(scene, tracks,
                                       opt.inlier_thresholds.max_angle_error)
@@ -156,13 +167,14 @@ class GlobalMapper:
             while ite < opt.num_iteration_bundle_adjustment:
                 ba_opts_tr = _copy_opts(opt.opt_ba)
                 ba_opts_tr.optimize_rotations = False
-                if not solve_bundle_adjustment(scene, tracks, ba_opts_tr):
+                if not solve_bundle_adjustment(scene, tracks, ba_opts_tr,
+                                               mesh=mesh):
                     return None
                 logger.info("BA iter %d/%d stage 1 done (position only)",
                             ite + 1, opt.num_iteration_bundle_adjustment)
                 if opt.opt_ba.optimize_rotations and \
                         not solve_bundle_adjustment(scene, tracks,
-                                                    opt.opt_ba):
+                                                    opt.opt_ba, mesh=mesh):
                     return None
                 logger.info("BA iter %d/%d stage 2 done", ite + 1,
                             opt.num_iteration_bundle_adjustment)
@@ -198,12 +210,14 @@ class GlobalMapper:
             for _ in range(opt.num_iteration_retriangulation):
                 tracks = retriangulate_tracks(scene, view_graph, tracks,
                                               opt.opt_triangulator)
-                if not solve_bundle_adjustment(scene, tracks, opt.opt_ba):
+                if not solve_bundle_adjustment(scene, tracks, opt.opt_ba,
+                                               mesh=mesh):
                     return None
                 tf.filter_tracks_by_reprojection(
                     scene, tracks,
                     opt.inlier_thresholds.max_reprojection_error)
-                if not solve_bundle_adjustment(scene, tracks, opt.opt_ba):
+                if not solve_bundle_adjustment(scene, tracks, opt.opt_ba,
+                                               mesh=mesh):
                     return None
             normalize_reconstruction(scene, tracks)
             tf.filter_tracks_by_reprojection(

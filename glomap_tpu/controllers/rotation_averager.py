@@ -35,8 +35,8 @@ class RotationAveragerOptions(RotationEstimatorOptions):
     use_stratified: bool = True
 
 
-def _solve_trivial_expansion(scene: Scene, vg: ViewGraph,
-                             opts) -> np.ndarray | None:
+def _solve_trivial_expansion(scene: Scene, vg: ViewGraph, opts,
+                             est=estimate_rotations) -> np.ndarray | None:
     """Rotation averaging with unknown-sensor images expanded into their
     own frames; returns per-image cam_from_world quaternions."""
     unknown_img = ~scene.sensor_known[scene.image_sensor]
@@ -72,7 +72,7 @@ def _solve_trivial_expansion(scene: Scene, vg: ViewGraph,
 
     trivial_opts = replace(opts) if hasattr(opts, "__dataclass_fields__") \
         else opts
-    if not estimate_rotations(tmp, vg, trivial_opts):
+    if not est(tmp, vg, trivial_opts):
         return None
     import jax.numpy as jnp
     q_img, _ = tmp.image_cam_from_world()
@@ -80,10 +80,24 @@ def _solve_trivial_expansion(scene: Scene, vg: ViewGraph,
 
 
 def solve_rotation_averaging(scene: Scene, vg: ViewGraph,
-                             opts: RotationAveragerOptions | None = None
-                             ) -> bool:
+                             opts: RotationAveragerOptions | None = None,
+                             mesh=None) -> bool:
+    """mesh: optional jax.sharding.Mesh — routes every solve through the
+    edge-sharded estimator (parallel/sharded_ra.py)."""
     opts = opts or RotationAveragerOptions()
     vg.keep_largest_connected_component(scene)
+    if mesh is not None:
+        from glomap_tpu.parallel.sharded_ra import solve_rotations_sharded
+
+        def est(scene_, vg_, opts_=None, pair_mask=None):
+            return solve_rotations_sharded(scene_, vg_, mesh, opts_,
+                                           pair_mask=pair_mask)
+    else:
+        est = estimate_rotations
+    return _solve_rotation_averaging(scene, vg, opts, est)
+
+
+def _solve_rotation_averaging(scene: Scene, vg: ViewGraph, opts, est) -> bool:
 
     solve_1dof = opts.use_gravity and opts.use_stratified and \
         scene.frame_has_gravity.any()
@@ -100,14 +114,13 @@ def solve_rotation_averaging(scene: Scene, vg: ViewGraph,
             solve_1dof = False
         if solve_1dof:
             # all frames in the subgraph carry gravity -> pure 1-DoF solve
-            if not estimate_rotations(scene, vg, opts,
-                                      pair_mask=grav_pair):
+            if not est(scene, vg, opts, pair_mask=grav_pair):
                 return False
 
     has_unknown = not scene.sensor_known.all()
     if has_unknown and not opts.skip_initialization:
         logger.info("Running trivial rotation averaging for rigged cameras")
-        q_img = _solve_trivial_expansion(scene, vg, opts)
+        q_img = _solve_trivial_expansion(scene, vg, opts, est)
         if q_img is None:
             return False
         convert_rotations_from_image_to_rig(scene, q_img)
@@ -115,6 +128,6 @@ def solve_rotation_averaging(scene: Scene, vg: ViewGraph,
         from dataclasses import replace as _replace
         opts2 = _replace(opts, skip_initialization=True) \
             if hasattr(opts, "__dataclass_fields__") else opts
-        return estimate_rotations(scene, vg, opts2)
+        return est(scene, vg, opts2)
 
-    return estimate_rotations(scene, vg, opts)
+    return est(scene, vg, opts)

@@ -650,10 +650,16 @@ def ba_fast_path_ok(scene: Scene) -> bool:
 
 def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
                             opts: BundleAdjusterOptions | None = None,
-                            dtype=None) -> bool:
+                            dtype=None, mesh=None) -> bool:
     """Run global BA; updates scene poses/intrinsics and track points.
 
     Counterpart of BundleAdjuster::Solve (bundle_adjustment.cc:11-106).
+
+    mesh: optional jax.sharding.Mesh — observation arrays are sharded on
+    its leading axis and parameter blocks replicated; XLA SPMD turns
+    every segment reduction into local partials + one AllReduce over ICI
+    (SURVEY.md §2.3). The Pallas windowed fast path is disabled under a
+    mesh (pallas_call is opaque to the SPMD partitioner).
     """
     opts = opts or BundleAdjusterOptions()
     from glomap_tpu.utils.dtypes import solver_dtype
@@ -695,8 +701,12 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
     # zero weight -> exact no-ops). Pads repeat the LAST id so the tail
     # block's window stays bounded.
     from glomap_tpu.utils.padding import bucket_size, pad_axis0
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     n_obs = len(o_img)
     n_obs_pad = bucket_size(n_obs)
+    n_obs_pad += (-n_obs_pad) % n_dev
     o_w_np = pad_axis0(np.ones(n_obs), n_obs_pad)
     o_point = pad_axis0(o_point, n_obs_pad, fill=int(o_point[-1]))
     o_frame = pad_axis0(o_frame, n_obs_pad, fill=int(o_frame[-1]))
@@ -731,6 +741,15 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         for m in scene.cam_model_id])
 
     fast_path = ba_fast_path_ok(scene) and not opts.optimize_rig_poses
+    if mesh is not None:
+        # pallas_call is opaque to SPMD partitioning: XLA-only kernels
+        fast_path = False
+        point_width = frame_width = 0
+        from glomap_tpu.parallel.mesh import replicate, shard_obs
+        _sh = lambda a: shard_obs(mesh, a)
+        _rep = lambda a: replicate(mesh, a)
+    else:
+        _sh = _rep = lambda a: a
 
     # sensor-pose optimization (reference optimize_rig_poses): only
     # non-reference sensors move
@@ -740,26 +759,27 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         sensor_mask[~scene.sensor_is_ref, :] = 1.0
 
     fq, ft, cp, X, cost, it, sq, st = _solve_ba(
-        jnp.asarray(scene.frame_quat, dtype=dtype),
-        jnp.asarray(scene.frame_trans, dtype=dtype),
-        jnp.asarray(scene.cam_params, dtype=dtype),
-        jnp.asarray(points_np, dtype=dtype),
-        jnp.asarray(o_frame), jnp.asarray(o_cam), jnp.asarray(o_point),
-        jnp.asarray(o_sq, dtype=dtype),
-        jnp.asarray(o_st, dtype=dtype),
-        jnp.asarray(o_kind_np),
-        jnp.asarray(o_uv_np, dtype=dtype),
-        jnp.asarray(cam_T, dtype=dtype),
-        jnp.asarray(o_w_np, dtype=dtype),
-        jnp.asarray(frame_mask, dtype=dtype),
+        _rep(jnp.asarray(scene.frame_quat, dtype=dtype)),
+        _rep(jnp.asarray(scene.frame_trans, dtype=dtype)),
+        _rep(jnp.asarray(scene.cam_params, dtype=dtype)),
+        _rep(jnp.asarray(points_np, dtype=dtype)),
+        _sh(jnp.asarray(o_frame)), _sh(jnp.asarray(o_cam)),
+        _sh(jnp.asarray(o_point)),
+        _sh(jnp.asarray(o_sq, dtype=dtype)),
+        _sh(jnp.asarray(o_st, dtype=dtype)),
+        _sh(jnp.asarray(o_kind_np)),
+        _sh(jnp.asarray(o_uv_np, dtype=dtype)),
+        _rep(jnp.asarray(cam_T, dtype=dtype)),
+        _sh(jnp.asarray(o_w_np, dtype=dtype)),
+        _rep(jnp.asarray(frame_mask, dtype=dtype)),
         scene.num_frames, scene.num_cameras, num_points_pad,
         float(opts.thres_loss_function), float(opts.function_tolerance),
         int(opts.max_num_iterations), 30, bool(opts.optimize_points),
         fast_path=fast_path,
-        o_sensor=jnp.asarray(o_sensor),
-        sensor_quat=jnp.asarray(scene.sensor_quat, dtype=dtype),
-        sensor_trans=jnp.asarray(scene.sensor_trans, dtype=dtype),
-        sensor_mask=jnp.asarray(sensor_mask, dtype=dtype),
+        o_sensor=_sh(jnp.asarray(o_sensor)),
+        sensor_quat=_rep(jnp.asarray(scene.sensor_quat, dtype=dtype)),
+        sensor_trans=_rep(jnp.asarray(scene.sensor_trans, dtype=dtype)),
+        sensor_mask=_rep(jnp.asarray(sensor_mask, dtype=dtype)),
         num_sensors=num_sensors,
         optimize_rig=bool(opts.optimize_rig_poses),
         point_width=point_width, frame_width=frame_width)

@@ -196,9 +196,15 @@ def _solve_gp(c0, X0,
 
 def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
                              opts: GlobalPositionerOptions | None = None,
-                             dtype=None) -> bool:
+                             dtype=None, mesh=None) -> bool:
     """Estimate frame positions + track points; updates scene/tracks in
-    place. Counterpart of GlobalPositioner::Solve."""
+    place. Counterpart of GlobalPositioner::Solve.
+
+    mesh: optional jax.sharding.Mesh — observation/edge arrays sharded on
+    its leading axis, parameter blocks replicated; every segment-sum in
+    the LM step becomes a local partial + one psum over ICI under XLA
+    SPMD (the distributed global-positioning design of SURVEY.md §2.3).
+    """
     opts = opts or GlobalPositionerOptions()
     from glomap_tpu.utils.dtypes import solver_dtype
     dtype = dtype or solver_dtype()
@@ -285,8 +291,12 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
     # bucket-pad obs/edges/points so repeated GP calls reuse the compiled
     # solver (padded rows carry zero weight)
     from glomap_tpu.utils.padding import bucket_size, pad_axis0
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     n_obs = len(o_frame)
     n_obs_pad = bucket_size(max(n_obs, 1))
+    n_obs_pad += (-n_obs_pad) % n_dev
     o_frame = pad_axis0(np.asarray(o_frame, np.int32), n_obs_pad)
     o_point_np = pad_axis0(np.asarray(o_point, np.int32), n_obs_pad)
     t_obs = jnp.asarray(pad_axis0(np.asarray(t_obs), n_obs_pad), dtype=dtype)
@@ -299,6 +309,7 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
         q_frame_o[n_obs:, 0] = 1.0  # identity quats on padded rows
     n_cc = len(cc_i)
     n_cc_pad = bucket_size(max(n_cc, 1), 64) if n_cc else 0
+    n_cc_pad += (-n_cc_pad) % n_dev
     cc_i = pad_axis0(np.asarray(cc_i, np.int32), n_cc_pad) if n_cc else         np.zeros(0, np.int32)
     cc_j = pad_axis0(np.asarray(cc_j, np.int32), n_cc_pad) if n_cc else         np.zeros(0, np.int32)
     t_cc = jnp.asarray(pad_axis0(np.asarray(t_cc), n_cc_pad), dtype=dtype)         if n_cc else jnp.zeros((0, 3), dtype=dtype)
@@ -310,12 +321,23 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
                    float(opts.thres_loss_function),
                    float(opts.function_tolerance),
                    int(opts.max_num_iterations), 100)
-    of = jnp.asarray(o_frame)
-    op = jnp.asarray(o_point_np)
-    ow = jnp.asarray(obs_w, dtype=dtype)
-    ci = jnp.asarray(cc_i)
-    cj = jnp.asarray(cc_j)
-    cw = jnp.asarray(cc_w, dtype=dtype)
+    if mesh is not None:
+        from glomap_tpu.parallel.mesh import replicate, shard_obs
+        _sh = lambda a: shard_obs(mesh, a)
+        _rep = lambda a: replicate(mesh, a)
+    else:
+        _sh = _rep = lambda a: a
+    of = _sh(jnp.asarray(o_frame))
+    op = _sh(jnp.asarray(o_point_np))
+    ow = _sh(jnp.asarray(obs_w, dtype=dtype))
+    t_obs = _sh(t_obs)
+    u_rig = _sh(u_rig)
+    ci = _sh(jnp.asarray(cc_i))
+    cj = _sh(jnp.asarray(cc_j))
+    cw = _sh(jnp.asarray(cc_w, dtype=dtype))
+    t_cc = _sh(t_cc)
+    c0 = _rep(jnp.asarray(c0, dtype=dtype))
+    X0 = _rep(jnp.asarray(X0, dtype=dtype))
 
     has_rig_offsets = bool(np.any(np.abs(np.asarray(u_rig)) > 0))
     if has_rig_offsets:
@@ -327,8 +349,7 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
         # with the offsets enabled. (The reference instead anchors gauge by
         # pinning the first residual scale, global_positioning.cc:484-489.)
         u0 = jnp.zeros_like(u_rig)
-        c1, X1, _, _ = _solve_gp(jnp.asarray(c0, dtype=dtype),
-                                 jnp.asarray(X0, dtype=dtype),
+        c1, X1, _, _ = _solve_gp(c0, X0,
                                  of, op, t_obs, u0, ow, ci, cj, t_cc, cw,
                                  *args_static)
 
@@ -354,8 +375,7 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
         c, X, cost, it = _solve_gp(c2, X2, of, op, t_obs, u_rig,
                                    ow, ci, cj, t_cc, cw, *args_static)
     else:
-        c, X, cost, it = _solve_gp(jnp.asarray(c0, dtype=dtype),
-                                   jnp.asarray(X0, dtype=dtype),
+        c, X, cost, it = _solve_gp(c0, X0,
                                    of, op, t_obs, u_rig, ow, ci, cj, t_cc,
                                    cw, *args_static)
 
@@ -368,12 +388,12 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
         bool((~scene.sensor_known).any()) and bool(unknown_obs.any())
     if has_unknown:
         num_sensors = len(scene.sensor_quat)
-        q_f_o = jnp.asarray(q_frame_o, dtype=dtype)
-        unk_o = jnp.asarray(unknown_obs)
-        o_sens = jnp.asarray(o_sensor.astype(np.int32))
+        q_f_o = _sh(jnp.asarray(q_frame_o, dtype=dtype))
+        unk_o = _sh(jnp.asarray(unknown_obs))
+        o_sens = _sh(jnp.asarray(o_sensor.astype(np.int32)))
         Rf = rotm.quat_to_rotmat(q_f_o)
         eye3 = jnp.eye(3, dtype=dtype)
-        cs = jnp.zeros((num_sensors, 3), dtype=dtype)
+        cs = _rep(jnp.zeros((num_sensors, 3), dtype=dtype))
         for _ in range(3):
             # Gauss-Newton on the sensor centers with the Golub-Pereyra
             # projected Jacobian (d r / d cs = s P R_f^T): converges

@@ -31,13 +31,15 @@ from glomap_tpu.utils.padding import bucket_size, pad_axis0
 
 def solve_rotations_sharded(scene, view_graph, mesh=None,
                             opts: RotationEstimatorOptions | None = None,
-                            dtype=jnp.float64, pair_mask=None) -> bool:
+                            dtype=None, pair_mask=None) -> bool:
     """estimate_rotations with the edge axis sharded across the mesh.
 
     Writes scene.frame_quat; returns False on empty/failed input (same
     contract as estimators.rotation_averaging.estimate_rotations).
     """
     opts = opts or RotationEstimatorOptions()
+    from glomap_tpu.utils.dtypes import solver_dtype
+    dtype = dtype or solver_dtype()
     mesh = mesh or meshmod.make_mesh()
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 

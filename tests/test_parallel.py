@@ -107,3 +107,58 @@ def test_spectral_partitioner_balances_and_cuts():
     obs_part = assign_observations(scene, tracks, p)
     assert len(obs_part) == tracks.num_obs
     assert obs_part.max() < 4
+
+
+def test_sharded_global_positioning_matches_single_device():
+    """GP with obs sharded over the 8-device mesh reaches the same
+    positions as the single-device solve (same seed -> same init)."""
+    from glomap_tpu.config import GlobalPositionerOptions
+    from glomap_tpu.estimators.global_positioning import (
+        solve_global_positioning)
+
+    def prep(seed=13):
+        scene, vg, gt = synthesize_dataset(SyntheticOptions(
+            num_frames_per_rig=12, num_points3D=150, seed=seed,
+            point2D_stddev=0.2))
+        undistort_images(scene)
+        tracks = find_tracks_for_problem(
+            scene, establish_full_tracks(scene, vg))
+        # GP estimates centers with rotations fixed at their current values
+        return scene, vg, tracks, gt
+
+    scene1, vg1, tracks1, gt = prep()
+    assert solve_global_positioning(scene1, vg1, tracks1,
+                                    GlobalPositionerOptions())
+    scene8, vg8, tracks8, _ = prep()
+    mesh = meshmod.make_mesh(8)
+    assert solve_global_positioning(scene8, vg8, tracks8,
+                                    GlobalPositionerOptions(), mesh=mesh)
+    # identical problem + deterministic seed: results agree to solver tol
+    d = np.linalg.norm(scene1.frame_centers() - scene8.frame_centers(),
+                       axis=1)
+    span = np.linalg.norm(np.ptp(scene1.frame_centers(), axis=0))
+    assert d.max() < 1e-3 * span
+
+
+def test_mapper_end_to_end_on_device_mesh():
+    """Full pipeline with device_mesh_shape=(8,): every solver runs
+    sharded; oracle matches the single-chip envelope."""
+    from glomap_tpu.config import GlobalMapperOptions
+    from glomap_tpu.controllers.global_mapper import GlobalMapper
+    from glomap_tpu.math.sim3 import umeyama_alignment
+    import glomap_tpu.math.rotation as rotm
+
+    scene, vg, gt = synthesize_dataset(SyntheticOptions(
+        num_frames_per_rig=15, num_points3D=200, seed=9,
+        point2D_stddev=0.3))
+    opt = GlobalMapperOptions()
+    opt.device_mesh_shape = (8,)
+    opt.skip_retriangulation = True
+    tracks = GlobalMapper(opt).solve(scene, vg)
+    assert tracks is not None
+    c = scene.frame_centers()
+    gt_c = np.asarray(rotm.pose_center(gt["frame_quat"],
+                                       gt["frame_trans"]))
+    s, R, t = umeyama_alignment(c, gt_c)
+    err = np.linalg.norm(s * c @ R.T + t - gt_c, axis=1)
+    assert err.max() < 0.05
