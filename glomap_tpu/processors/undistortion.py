@@ -18,15 +18,25 @@ from glomap_tpu.scene.arrays import Scene
 
 @jax.jit
 def _rays_from_indices(cam_params, cam_kind, kp_cam, kp_xy):
-    """Gather per-keypoint camera params ON DEVICE (shipping (K,) indices
-    instead of a (K, 16) host-gathered table — the host->device transfer
-    through the remote tunnel dominated the stage otherwise)."""
+    """Per-keypoint camera params gathered by (K,) indices; runs on
+    whichever backend its inputs live on."""
     return cm.cam_rays_from_img(cam_params[kp_cam], cam_kind[kp_cam], kp_xy)
 
 
 def undistort_images(scene: Scene, num_iters: int = 25) -> None:
-    """Fill scene.kp_ray for every keypoint (one device call). Also caches
-    the rays on device (scene cache, reused by inlier scoring / relpose)."""
+    """Fill scene.kp_ray for every keypoint. Also caches the rays on the
+    accelerator (scene cache, reused by inlier scoring / relpose).
+
+    The lift runs on the LOCAL CPU backend even when the default device
+    is a tunneled TPU: the math is memory-light (181k rays ~ milliseconds
+    either way) but on the remote chip the first call pays a
+    multi-second executable load — or a multi-minute remote compile on a
+    cold cache (the camera-model switch + Newton while_loop is a large
+    graph) — plus a device->host download of the result. Computing on
+    host CPU and UPLOADING the cache (uploads are cheap, ~30 MB/s;
+    cold-cache downloads measured 100x slower) cut the relpose stage's
+    fixed cost from ~70 s to < 1 s.
+    """
     if scene.num_keypoints == 0:
         return
     import logging
@@ -34,27 +44,33 @@ def undistort_images(scene: Scene, num_iters: int = 25) -> None:
     _t0 = _time.monotonic()
     counts = np.diff(scene.kp_offset)
     kp_cam = np.repeat(scene.image_camera, counts).astype(np.int32)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        rays = _rays_from_indices(
+            jax.device_put(scene.cam_params, cpu),
+            jax.device_put(scene.cam_kind, cpu),
+            jax.device_put(kp_cam, cpu),
+            jax.device_put(scene.kp_xy, cpu))
+        rays_np = np.asarray(rays)
     _t1 = _time.monotonic()
-    rays = _rays_from_indices(jnp.asarray(scene.cam_params),
-                              jnp.asarray(scene.cam_kind),
-                              jnp.asarray(kp_cam),
-                              jnp.asarray(scene.kp_xy))
-    rays.block_until_ready()
+    scene.kp_ray = np.asarray(rays_np, dtype=np.float64)
+    cache_device_keypoints(scene)
     _t2 = _time.monotonic()
-    scene.kp_ray = np.array(rays, dtype=np.float64, copy=True)
-    cache_device_keypoints(scene, rays)
-    _t3 = _time.monotonic()
     logging.getLogger(__name__).info(
-        "undistort: host %.1fs, device %.1fs, download+cache %.1fs",
-        _t1 - _t0, _t2 - _t1, _t3 - _t2)
+        "undistort: cpu lift %.1fs, device cache upload %.1fs",
+        _t1 - _t0, _t2 - _t1)
 
 
 def cache_device_keypoints(scene: Scene, rays=None):
     """Keep lane-major (3, K) rays and (2, K) pixels resident on device;
-    refreshed whenever undistort_images recomputes."""
-    r = rays if rays is not None else jnp.asarray(scene.kp_ray)
-    scene._kp_rayT_dev = jnp.asarray(r).T
-    scene._kp_xyT_dev = jnp.asarray(scene.kp_xy).T
+    refreshed whenever undistort_images recomputes. Transposes on host so
+    each cache entry is ONE contiguous upload (no eager device ops)."""
+    dt = np.float64 if jax.config.jax_enable_x64 else np.float32
+    r = np.asarray(rays) if rays is not None else scene.kp_ray
+    scene._kp_rayT_dev = jnp.asarray(
+        np.ascontiguousarray(np.asarray(r).T, dtype=dt))
+    scene._kp_xyT_dev = jnp.asarray(
+        np.ascontiguousarray(scene.kp_xy.T, dtype=dt))
 
 
 def device_keypoints(scene: Scene):
