@@ -225,19 +225,19 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
         o_frame = scene.image_frame[o_img]
         o_point = tracks.obs_track[ob_ok]
         kp = scene.kp_offset[o_img] + tracks.obs_feature[ob_ok]
-        # t_obs = R_cam^T ray (world direction of the observation)
+        # t_obs = R_cam^T ray (world direction of the observation) —
+        # pure-numpy host prep (eager device ops through the remote
+        # tunnel cost ~ms each; this path runs per GP call)
         q_img, _ = scene.image_cam_from_world()
-        q_o = jnp.asarray(q_img[o_img], dtype=dtype)
-        t_obs = rotm.quat_rotate(rotm.quat_conj(q_o),
-                                 jnp.asarray(scene.kp_ray[kp], dtype=dtype))
+        q_o = q_img[o_img]
+        t_obs = rotm.quat_rotate(rotm.quat_conj(q_o), scene.kp_ray[kp])
         # rig offset u = R_cam^T t_sensor_from_rig (zero for trivial frames;
         # reference RigBATAPairwiseDirectionError translation_rig term)
         o_sensor = scene.image_sensor[o_img]
         st = scene.sensor_trans[o_sensor].copy()
         unknown_obs = ~scene.sensor_known[o_sensor]
         st[unknown_obs] = 0.0  # unknown offsets start at zero
-        u_rig = rotm.quat_rotate(rotm.quat_conj(q_o),
-                                 jnp.asarray(st, dtype=dtype))
+        u_rig = rotm.quat_rotate(rotm.quat_conj(q_o), st)
         # frame rotation per obs (for the unknown cam_from_rig center
         # updates; reference RigUnknownBATAPairwiseDirectionError)
         q_frame_o = scene.frame_quat[o_frame]
@@ -260,9 +260,8 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
         cc_j = scene.image_frame[im_j]
         q_img, _ = scene.image_cam_from_world()
         # t_cc = -(R_j^T t_rel): direction from c_i to c_j in world frame
-        qj = jnp.asarray(q_img[im_j], dtype=dtype)
-        t_cc = -rotm.quat_rotate(rotm.quat_conj(qj),
-                                 jnp.asarray(vg.pair_trans[pv], dtype=dtype))
+        qj = q_img[im_j]
+        t_cc = -rotm.quat_rotate(rotm.quat_conj(qj), vg.pair_trans[pv])
         cc_w = np.ones(len(cc_i))
         if opts.constraint_type == "POINTS_AND_CAMERAS_BALANCED" and \
                 len(o_frame) > 0:
@@ -426,9 +425,8 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
         # write back: sensor_from_rig translation t_s = -R_s c_s
         cs_np = np.asarray(cs, dtype=np.float64)
         unk_sensors = np.nonzero(~scene.sensor_known)[0]
-        t_s = -np.asarray(rotm.quat_rotate(
-            jnp.asarray(scene.sensor_quat[unk_sensors]),
-            jnp.asarray(cs_np[unk_sensors])))
+        t_s = -rotm.quat_rotate(scene.sensor_quat[unk_sensors],
+                                cs_np[unk_sensors])
         scene.sensor_trans[unk_sensors] = t_s
         scene.sensor_known[unk_sensors] = True
 
@@ -439,8 +437,7 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
 
     # ConvertResults: t = -R c  (global_positioning.cc:562-585)
     if opts.optimize_positions:
-        scene.frame_trans[:] = -np.asarray(
-            rotm.quat_rotate(jnp.asarray(scene.frame_quat), jnp.asarray(c)))
+        scene.frame_trans[:] = -rotm.quat_rotate(scene.frame_quat, c)
     if opts.optimize_points and tracks.num_tracks:
         tracks.xyz[:] = X[:tracks.num_tracks]
         if use_points:

@@ -41,18 +41,17 @@ def _aligned_rel_angles(scene: Scene, vg: ViewGraph, use: np.ndarray):
     A_j = gravm.align_rot(scene.frame_gravity[f_j])
     if A_i.ndim == 2:
         A_i, A_j = A_i[None], A_j[None]
-    R_rel = np.asarray(rotm.quat_to_rotmat(jnp.asarray(vg.pair_quat[use])))
+    R_rel = rotm.quat_to_rotmat(vg.pair_quat[use])
     # conjugate sensor rotations onto frames
     s_i = scene.image_sensor[vg.pair_i[use]]
     s_j = scene.image_sensor[vg.pair_j[use]]
-    S_i = np.asarray(rotm.quat_to_rotmat(jnp.asarray(scene.sensor_quat[s_i])))
-    S_j = np.asarray(rotm.quat_to_rotmat(jnp.asarray(scene.sensor_quat[s_j])))
+    S_i = rotm.quat_to_rotmat(scene.sensor_quat[s_i])
+    S_j = rotm.quat_to_rotmat(scene.sensor_quat[s_j])
     R_f = np.swapaxes(S_j, -1, -2) @ R_rel @ S_i
     G = np.swapaxes(A_j, -1, -2) @ R_f @ A_i
     theta = gravm.closest_up_angle(np.eye(3), G)
     G_up = gravm.angle_to_rot_up(theta)
-    ang = np.asarray(rotm.rotation_angle_rad(
-        jnp.asarray(np.swapaxes(G_up, -1, -2) @ G)))
+    ang = rotm.rotation_angle_rad(np.swapaxes(G_up, -1, -2) @ G)
     return f_i, f_j, np.degrees(ang)
 
 
@@ -86,9 +85,9 @@ def refine_gravity(scene: Scene, vg: ViewGraph,
     # R(n<-f): g_f_implied = R(n<-f)^T @ A_n[:, 1] (neighbor's aligned up)
     s_i = scene.image_sensor[vg.pair_i[use]]
     s_j = scene.image_sensor[vg.pair_j[use]]
-    R_rel = np.asarray(rotm.quat_to_rotmat(jnp.asarray(vg.pair_quat[use])))
-    S_i = np.asarray(rotm.quat_to_rotmat(jnp.asarray(scene.sensor_quat[s_i])))
-    S_j = np.asarray(rotm.quat_to_rotmat(jnp.asarray(scene.sensor_quat[s_j])))
+    R_rel = rotm.quat_to_rotmat(vg.pair_quat[use])
+    S_i = rotm.quat_to_rotmat(scene.sensor_quat[s_i])
+    S_j = rotm.quat_to_rotmat(scene.sensor_quat[s_j])
     R_f = np.swapaxes(S_j, -1, -2) @ R_rel @ S_i  # frame_j <- frame_i
     A_i = gravm.align_rot(scene.frame_gravity[f_i])
     A_j = gravm.align_rot(scene.frame_gravity[f_j])

@@ -265,13 +265,10 @@ def _init_from_mst(num_frames, fi, fj, q_rel, weights):
             continue
         if fi[k] == u and fj[k] == v:
             # R_v = R_rel R_u
-            quats[v] = np.asarray(rotm.quat_mul(jnp.asarray(q_rel_np[k]),
-                                                jnp.asarray(quats[u])))
+            quats[v] = rotm.quat_mul(q_rel_np[k], quats[u])
         else:
             # R_u = R_rel R_v  =>  R_v = R_rel^-1 R_u
-            quats[v] = np.asarray(rotm.quat_mul(
-                rotm.quat_conj(jnp.asarray(q_rel_np[k])),
-                jnp.asarray(quats[u])))
+            quats[v] = rotm.quat_mul(rotm.quat_conj(q_rel_np[k]), quats[u])
     return quats, root
 
 
@@ -296,9 +293,9 @@ def build_frame_edges(scene, view_graph, pair_mask=None):
                 np.zeros((0, 4)), np.zeros(0))
     s_i = scene.image_sensor[im_i[idx]]
     s_j = scene.image_sensor[im_j[idx]]
-    q_pair = jnp.asarray(vg.pair_quat[idx])
-    q_si = jnp.asarray(scene.sensor_quat[s_i])
-    q_sj = jnp.asarray(scene.sensor_quat[s_j])
+    q_pair = vg.pair_quat[idx]
+    q_si = scene.sensor_quat[s_i]
+    q_sj = scene.sensor_quat[s_j]
     q_eff = rotm.quat_mul(rotm.quat_conj(q_sj),
                           rotm.quat_mul(q_pair, q_si))
     w = vg.pair_weight[idx].copy()
@@ -349,11 +346,11 @@ def estimate_rotations(scene, view_graph,
         if R_align.ndim == 2:
             R_align = R_align[None]
         # snap init onto the gravity manifold: R = R_align R_up(theta*)
-        R0 = np.asarray(rotm.quat_to_rotmat(jnp.asarray(quats0[g_idx])))
+        R0 = rotm.quat_to_rotmat(quats0[g_idx])
         theta = gravm.closest_up_angle(R_align, R0)
         R_snap = R_align @ gravm.angle_to_rot_up(theta)
         quats0 = quats0.copy()
-        quats0[g_idx] = np.asarray(rotm.rotmat_to_quat(jnp.asarray(R_snap)))
+        quats0[g_idx] = rotm.rotmat_to_quat(R_snap)
         gm = np.zeros(num_frames)
         gm[g_idx] = 1.0
         grav_mask_d = jnp.asarray(gm, dtype=dtype)

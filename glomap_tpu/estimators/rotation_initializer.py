@@ -43,14 +43,13 @@ def convert_rotations_from_image_to_rig(scene: Scene,
         f = scene.image_frame[k]
         if ref_img[f] < 0:
             continue
-        q_rel = rotm.quat_mul(jnp.asarray(image_quat[k]),
-                              rotm.quat_conj(jnp.asarray(
-                                  image_quat[ref_img[f]])))
+        q_rel = rotm.quat_mul(image_quat[k],
+                              rotm.quat_conj(image_quat[ref_img[f]]))
         per_sensor.setdefault(int(s), []).append(np.asarray(q_rel))
 
     n_set = 0
     for s, quats in per_sensor.items():
-        q_avg = np.asarray(rotm.average_quats(jnp.asarray(np.stack(quats))))
+        q_avg = np.asarray(rotm.average_quats(np.stack(quats)))
         scene.sensor_quat[s] = q_avg
         # rotation now known; translation still to be estimated (by GP)
         n_set += 1

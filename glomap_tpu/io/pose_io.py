@@ -171,8 +171,7 @@ def read_gravity(path: str, scene: Scene) -> int:
             scene.frame_has_gravity[fidx] = True
             scene.frame_gravity[fidx] = g
             R = gravm.align_rot(g)
-            scene.frame_quat[fidx] = np.asarray(
-                rotm.rotmat_to_quat(jnp.asarray(R)))
+            scene.frame_quat[fidx] = rotm.rotmat_to_quat(R)
             n += 1
     return n
 

@@ -49,14 +49,14 @@ def align_rot(gravity: np.ndarray) -> np.ndarray:
 
 def rot_up_to_angle(R_up: np.ndarray) -> float:
     """Y-angle of an (approximately) up-axis rotation (RotUpToAngle)."""
-    aa = np.asarray(rotm.so3_log(jnp.asarray(R_up)))
+    aa = np.asarray(rotm.so3_log(np.asarray(R_up)))
     return float(aa[..., 1]) if aa.ndim == 1 else aa[..., 1]
 
 
 def angle_to_rot_up(angle) -> np.ndarray:
     a = np.zeros(np.shape(angle) + (3,))
     a[..., 1] = angle
-    return np.asarray(rotm.so3_exp(jnp.asarray(a)))
+    return np.asarray(rotm.so3_exp(a))
 
 
 def closest_up_angle(R_align: np.ndarray, R: np.ndarray):

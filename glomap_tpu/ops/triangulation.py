@@ -180,9 +180,9 @@ def ransac_triangulate_tracks(scene: Scene, tracks: Tracks, dtype=None,
     o_img = tracks.obs_image[o_idx]
     kp = scene.kp_offset[o_img] + tracks.obs_feature[o_idx]
     q_img, t_img = scene.image_cam_from_world()
-    q = jnp.asarray(q_img[o_img], dtype=dtype)
-    d = rotm.quat_rotate(rotm.quat_conj(q),
-                         jnp.asarray(scene.kp_ray[kp], dtype=dtype))
+    # numpy host prep; the batched solves below are the device work
+    d = jnp.asarray(rotm.quat_rotate(rotm.quat_conj(q_img[o_img]),
+                                     scene.kp_ray[kp]), dtype=dtype)
     centers = scene.image_centers()[o_img]
     ot = tracks.obs_track[o_idx].astype(np.int32)
     # segment offsets (obs sorted by track; empty tracks get len 0)
@@ -215,9 +215,8 @@ def triangulate_tracks(scene: Scene, tracks: Tracks,
     o_img = tracks.obs_image[ob]
     kp = scene.kp_offset[o_img] + tracks.obs_feature[ob]
     q_img, t_img = scene.image_cam_from_world()
-    q = jnp.asarray(q_img[o_img], dtype=dtype)
-    d = rotm.quat_rotate(rotm.quat_conj(q),
-                         jnp.asarray(scene.kp_ray[kp], dtype=dtype))
+    d = jnp.asarray(rotm.quat_rotate(rotm.quat_conj(q_img[o_img]),
+                                     scene.kp_ray[kp]), dtype=dtype)
     centers = scene.image_centers()[o_img]
     X, ok = midpoint_triangulate(
         jnp.asarray(tracks.obs_track[ob].astype(np.int32)), d,

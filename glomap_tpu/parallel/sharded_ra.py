@@ -64,11 +64,11 @@ def solve_rotations_sharded(scene, view_graph, mesh=None,
         R_align = gravm.align_rot(scene.frame_gravity[g_idx])
         if R_align.ndim == 2:
             R_align = R_align[None]
-        R0 = np.asarray(rotm.quat_to_rotmat(jnp.asarray(quats0[g_idx])))
+        R0 = rotm.quat_to_rotmat(quats0[g_idx])
         theta = gravm.closest_up_angle(R_align, R0)
         R_snap = R_align @ gravm.angle_to_rot_up(theta)
         quats0 = quats0.copy()
-        quats0[g_idx] = np.asarray(rotm.rotmat_to_quat(jnp.asarray(R_snap)))
+        quats0[g_idx] = rotm.rotmat_to_quat(R_snap)
         gm = np.zeros(num_frames)
         gm[g_idx] = 1.0
         grav_mask_d = meshmod.replicate(mesh, jnp.asarray(gm, dtype=dtype))

@@ -43,9 +43,9 @@ def normalize_reconstruction(scene: Scene, tracks: Tracks,
 
     # new_world = scale * (old_world - mean): push through rig_from_world
     #   t' = scale * (t + R * mean)
-    Rm = np.asarray(rotm.quat_rotate(jnp.asarray(scene.frame_quat),
-                                     jnp.asarray(np.broadcast_to(
-                                         mean_coord, (scene.num_frames, 3)))))
+    Rm = rotm.quat_rotate(scene.frame_quat,
+                          np.broadcast_to(mean_coord,
+                                          (scene.num_frames, 3)))
     scene.frame_trans[:] = scale * (scene.frame_trans + Rm)
     # sensor translations scale
     scene.sensor_trans[:] = scale * scene.sensor_trans

@@ -27,11 +27,10 @@ def filter_rotations(scene: Scene, vg: ViewGraph,
     if vg.num_pairs == 0:
         return 0
     q_img, _ = scene.image_cam_from_world()
-    qi = jnp.asarray(q_img[vg.pair_i])
-    qj = jnp.asarray(q_img[vg.pair_j])
+    qi = q_img[vg.pair_i]
+    qj = q_img[vg.pair_j]
     q_global_rel = rotm.quat_mul(qj, rotm.quat_conj(qi))
-    ang = np.asarray(rotm.relative_quat_angle_rad(
-        jnp.asarray(vg.pair_quat), q_global_rel))
+    ang = rotm.relative_quat_angle_rad(vg.pair_quat, q_global_rel)
     bad = vg.pair_valid & (np.degrees(ang) > max_angle_deg)
     vg.pair_valid &= ~bad
     n = int(bad.sum())

@@ -24,15 +24,18 @@ EPS = 1e-12
 
 
 def _obs_geometry(scene: Scene, tracks: Tracks):
-    """Common gathers: per-obs camera-frame point and undistorted ray."""
+    """Common gathers: per-obs camera-frame point and undistorted ray.
+
+    Pure numpy: these filters run between device solves many times per
+    pipeline; eager device ops through a remote tunnel cost ~ms each."""
     o_img = tracks.obs_image
     q_img, t_img = scene.image_cam_from_world()
-    q = jnp.asarray(q_img[o_img])
-    t = jnp.asarray(t_img[o_img])
-    X = jnp.asarray(tracks.xyz[tracks.obs_track])
+    q = q_img[o_img]
+    t = t_img[o_img]
+    X = tracks.xyz[tracks.obs_track]
     pt_cam = rotm.quat_rotate(q, X) + t
     kp = scene.kp_offset[o_img] + tracks.obs_feature
-    ray = jnp.asarray(scene.kp_ray[kp])
+    ray = scene.kp_ray[kp]
     return pt_cam, ray, kp
 
 
@@ -46,14 +49,15 @@ def filter_tracks_by_reprojection(scene: Scene, tracks: Tracks,
     pt_cam, ray, kp = _obs_geometry(scene, tracks)
     z = pt_cam[..., 2]
     if in_normalized_image:
-        proj = pt_cam[..., :2] / jnp.where(jnp.abs(z) < EPS, EPS, z)[..., None]
+        proj = pt_cam[..., :2] / np.where(np.abs(z) < EPS, EPS, z)[..., None]
         feat = ray[..., :2] / (ray[..., 2:3] + EPS)
-        err = jnp.linalg.norm(proj - feat, axis=-1)
+        err = np.linalg.norm(proj - feat, axis=-1)
     else:
         cams = scene.image_camera[tracks.obs_image]
-        px = cm.img_from_cam(jnp.asarray(scene.cam_params[cams]),
-                             jnp.asarray(scene.cam_kind[cams]), pt_cam)
-        err = jnp.linalg.norm(px - jnp.asarray(scene.kp_xy[kp]), axis=-1)
+        px = np.asarray(cm.img_from_cam(jnp.asarray(scene.cam_params[cams]),
+                                        jnp.asarray(scene.cam_kind[cams]),
+                                        jnp.asarray(pt_cam)))
+        err = np.linalg.norm(px - scene.kp_xy[kp], axis=-1)
     ok = np.asarray((err < max_reprojection_error) & (z >= EPS))
     bad = tracks.obs_valid & ~ok
     tracks.obs_valid &= ok
@@ -71,14 +75,13 @@ def filter_tracks_by_angle(scene: Scene, tracks: Tracks,
         return 0
     pt_cam, ray, _ = _obs_geometry(scene, tracks)
     z = pt_cam[..., 2]
-    dir_calc = pt_cam / jnp.maximum(
-        jnp.linalg.norm(pt_cam, axis=-1, keepdims=True), EPS)
-    dot = jnp.sum(dir_calc * ray, axis=-1)
+    dir_calc = pt_cam / np.maximum(
+        np.linalg.norm(pt_cam, axis=-1, keepdims=True), EPS)
+    dot = np.sum(dir_calc * ray, axis=-1)
     calib = scene.cam_has_prior_focal[scene.image_camera[tracks.obs_image]]
     thres = np.cos(np.deg2rad(max_angle_error_deg))
     thres_uncalib = np.cos(np.deg2rad(2.0 * max_angle_error_deg))
-    ok = np.asarray((dot > jnp.where(jnp.asarray(calib), thres,
-                                     thres_uncalib)) & (z >= EPS))
+    ok = (dot > np.where(calib, thres, thres_uncalib)) & (z >= EPS)
     bad = tracks.obs_valid & ~ok
     tracks.obs_valid &= ok
     n = int(bad.sum())
