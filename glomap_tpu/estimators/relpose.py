@@ -374,5 +374,7 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
 
     vg.pair_quat = np.array(q, dtype=np.float64, copy=True)
     vg.pair_trans = np.array(t, dtype=np.float64, copy=True)
-    E = tv.essential_from_motion(q, t)
-    vg.pair_E = np.array(E, dtype=np.float64, copy=True)
+    # E on host: eager device ops through the tunnel pay a remote
+    # mini-compile per op (measured ~17 s for this one line on TPU)
+    vg.pair_E = np.asarray(tv.essential_from_motion(
+        vg.pair_quat, vg.pair_trans), dtype=np.float64)

@@ -9,26 +9,29 @@ a CPU thread pool (reference processors/image_pair_inliers.cc).
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from glomap_tpu.math import rotation as rotm
+from glomap_tpu.math.rotation import _xp
 
 EPS = 1e-12
 
 
-def skew(t: jax.Array) -> jax.Array:
+def skew(t):
     """(..., 3) -> (..., 3, 3) cross-product matrix."""
-    z = jnp.zeros_like(t[..., 0])
+    xp = _xp(t)
+    z = xp.zeros_like(t[..., 0])
     rows = [
-        jnp.stack([z, -t[..., 2], t[..., 1]], -1),
-        jnp.stack([t[..., 2], z, -t[..., 0]], -1),
-        jnp.stack([-t[..., 1], t[..., 0], z], -1),
+        xp.stack([z, -t[..., 2], t[..., 1]], -1),
+        xp.stack([t[..., 2], z, -t[..., 0]], -1),
+        xp.stack([-t[..., 1], t[..., 0], z], -1),
     ]
-    return jnp.stack(rows, axis=-2)
+    return xp.stack(rows, axis=-2)
 
 
-def essential_from_motion(quat: jax.Array, trans: jax.Array) -> jax.Array:
+def essential_from_motion(quat, trans):
     """E = [t]_x R for cam2_from_cam1 = (quat, trans).
 
     Reference: glomap/math/two_view_geometry.cc EssentialFromMotion.
@@ -36,34 +39,36 @@ def essential_from_motion(quat: jax.Array, trans: jax.Array) -> jax.Array:
     return skew(trans) @ rotm.quat_to_rotmat(quat)
 
 
-def fundamental_from_motion(K1_inv: jax.Array, K2_inv: jax.Array,
-                            quat: jax.Array, trans: jax.Array) -> jax.Array:
+def fundamental_from_motion(K1_inv, K2_inv, quat, trans):
     """F = K2^-T E K1^-1 (reference FundamentalFromMotionAndCameras)."""
+    xp = _xp(K1_inv, K2_inv, quat, trans)
     E = essential_from_motion(quat, trans)
-    return jnp.swapaxes(K2_inv, -1, -2) @ E @ K1_inv
+    return xp.swapaxes(K2_inv, -1, -2) @ E @ K1_inv
 
 
 def calib_matrix(fx, fy, cx, cy):
     """Pinhole K (...,) scalars -> (..., 3, 3)."""
-    z = jnp.zeros_like(fx)
-    o = jnp.ones_like(fx)
+    xp = _xp(fx, fy, cx, cy)
+    z = xp.zeros_like(fx)
+    o = xp.ones_like(fx)
     rows = [
-        jnp.stack([fx, z, cx], -1),
-        jnp.stack([z, fy, cy], -1),
-        jnp.stack([z, z, o], -1),
+        xp.stack([fx, z, cx], -1),
+        xp.stack([z, fy, cy], -1),
+        xp.stack([z, z, o], -1),
     ]
-    return jnp.stack(rows, axis=-2)
+    return xp.stack(rows, axis=-2)
 
 
 def calib_matrix_inv(fx, fy, cx, cy):
-    z = jnp.zeros_like(fx)
-    o = jnp.ones_like(fx)
+    xp = _xp(fx, fy, cx, cy)
+    z = xp.zeros_like(fx)
+    o = xp.ones_like(fx)
     rows = [
-        jnp.stack([1.0 / fx, z, -cx / fx], -1),
-        jnp.stack([z, 1.0 / fy, -cy / fy], -1),
-        jnp.stack([z, z, o], -1),
+        xp.stack([1.0 / fx, z, -cx / fx], -1),
+        xp.stack([z, 1.0 / fy, -cy / fy], -1),
+        xp.stack([z, z, o], -1),
     ]
-    return jnp.stack(rows, axis=-2)
+    return xp.stack(rows, axis=-2)
 
 
 def sampson_error_sq(E: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
@@ -72,14 +77,15 @@ def sampson_error_sq(E: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
 
     E: (..., 3, 3); x1, x2: (..., 3). Returns (...,).
     """
+    xp = _xp(E, x1, x2)
     x1n = x1 / (EPS + x1[..., 2:3])
     x2n = x2 / (EPS + x2[..., 2:3])
-    Ex1 = jnp.einsum("...ij,...j->...i", E, x1n)
-    Etx2 = jnp.einsum("...ji,...j->...i", E, x2n)
-    C = jnp.sum(Ex1 * x2n, axis=-1)
+    Ex1 = xp.einsum("...ij,...j->...i", E, x1n)
+    Etx2 = xp.einsum("...ji,...j->...i", E, x2n)
+    C = xp.sum(Ex1 * x2n, axis=-1)
     denom = (Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2 +
              Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2)
-    return C * C / jnp.maximum(denom, EPS)
+    return C * C / xp.maximum(denom, EPS)
 
 
 def sampson_error_sq_rows(E9: jax.Array, x1T: jax.Array,
@@ -91,11 +97,12 @@ def sampson_error_sq_rows(E9: jax.Array, x1T: jax.Array,
     ~50x in memory (trailing dims pad to the 128-lane tile); keeping M as
     the trailing axis makes every intermediate a full-width vector op.
     """
+    xp = _xp(E9, x1T, x2T)
     z1 = x1T[2] + EPS
     z2 = x2T[2] + EPS
     a0, a1 = x1T[0] / z1, x1T[1] / z1
     b0, b1 = x2T[0] / z2, x2T[1] / z2
-    one = jnp.ones_like(a0)
+    one = xp.ones_like(a0)
     Ex0 = E9[0] * a0 + E9[1] * a1 + E9[2] * one
     Ex1 = E9[3] * a0 + E9[4] * a1 + E9[5] * one
     Ex2 = E9[6] * a0 + E9[7] * a1 + E9[8] * one
@@ -103,22 +110,24 @@ def sampson_error_sq_rows(E9: jax.Array, x1T: jax.Array,
     Et1 = E9[1] * b0 + E9[4] * b1 + E9[7] * one
     C = Ex0 * b0 + Ex1 * b1 + Ex2 * one
     denom = Ex0 * Ex0 + Ex1 * Ex1 + Et0 * Et0 + Et1 * Et1
-    return C * C / jnp.maximum(denom, EPS)
+    return C * C / xp.maximum(denom, EPS)
 
 
 def sampson_error_sq_2d(E: jax.Array, uv1: jax.Array, uv2: jax.Array) -> jax.Array:
     """Squared Sampson error on 2D (inhomogeneous) points."""
-    x1 = jnp.concatenate([uv1, jnp.ones_like(uv1[..., :1])], axis=-1)
-    x2 = jnp.concatenate([uv2, jnp.ones_like(uv2[..., :1])], axis=-1)
+    xp = _xp(E, uv1, uv2)
+    x1 = xp.concatenate([uv1, xp.ones_like(uv1[..., :1])], axis=-1)
+    x2 = xp.concatenate([uv2, xp.ones_like(uv2[..., :1])], axis=-1)
     return sampson_error_sq(E, x1, x2)
 
 
 def homography_error_sq(H: jax.Array, uv1: jax.Array, uv2: jax.Array) -> jax.Array:
     """Squared transfer error |H x1 - x2|^2 (reference HomographyError)."""
-    x1 = jnp.concatenate([uv1, jnp.ones_like(uv1[..., :1])], axis=-1)
-    Hx1 = jnp.einsum("...ij,...j->...i", H, x1)
+    xp = _xp(H, uv1, uv2)
+    x1 = xp.concatenate([uv1, xp.ones_like(uv1[..., :1])], axis=-1)
+    Hx1 = xp.einsum("...ij,...j->...i", H, x1)
     Hx1n = Hx1[..., :2] / (EPS + Hx1[..., 2:3])
-    return jnp.sum((Hx1n - uv2) ** 2, axis=-1)
+    return xp.sum((Hx1n - uv2) ** 2, axis=-1)
 
 
 def check_cheirality(quat: jax.Array, trans: jax.Array,
@@ -128,10 +137,11 @@ def check_cheirality(quat: jax.Array, trans: jax.Array,
 
     x1, x2 must be unit bearing rays; pose maps cam1 -> cam2. Batched.
     """
+    xp = _xp(quat, trans, x1, x2)
     Rx1 = rotm.quat_rotate(quat, x1)
-    a = -jnp.sum(Rx1 * x2, axis=-1)
-    b1 = -jnp.sum(Rx1 * trans, axis=-1)
-    b2 = jnp.sum(x2 * trans, axis=-1)
+    a = -xp.sum(Rx1 * x2, axis=-1)
+    b1 = -xp.sum(Rx1 * trans, axis=-1)
+    b2 = xp.sum(x2 * trans, axis=-1)
     lam1 = b1 - a * b2
     lam2 = -a * b1 + b2
     scale = 1.0 - a * a
@@ -156,14 +166,15 @@ def epipole_from_F(F: jax.Array) -> jax.Array:
     e' with e'^T F = 0: use the two most independent rows of F... the
     reference uses F.col(0).cross(F.col(2)); we match that behavior.
     """
-    return jnp.cross(F[..., :, 0], F[..., :, 2], axis=-1)
+    return _xp(F).cross(F[..., :, 0], F[..., :, 2], axis=-1)
 
 
 def triangulation_angle_rad(center1: jax.Array, center2: jax.Array,
                             point: jax.Array) -> jax.Array:
     """Angle subtended at `point` by the two camera centers (batched)."""
+    xp = _xp(center1, center2, point)
     d1 = center1 - point
     d2 = center2 - point
-    c = jnp.sum(d1 * d2, axis=-1) / jnp.maximum(
-        jnp.linalg.norm(d1, axis=-1) * jnp.linalg.norm(d2, axis=-1), EPS)
-    return jnp.arccos(jnp.clip(c, -1.0, 1.0))
+    c = xp.sum(d1 * d2, axis=-1) / xp.maximum(
+        xp.linalg.norm(d1, axis=-1) * xp.linalg.norm(d2, axis=-1), EPS)
+    return xp.arccos(xp.clip(c, -1.0, 1.0))

@@ -181,23 +181,37 @@ def ransac_triangulate_tracks(scene: Scene, tracks: Tracks, dtype=None,
     kp = scene.kp_offset[o_img] + tracks.obs_feature[o_idx]
     q_img, t_img = scene.image_cam_from_world()
     # numpy host prep; the batched solves below are the device work
-    d = jnp.asarray(rotm.quat_rotate(rotm.quat_conj(q_img[o_img]),
-                                     scene.kp_ray[kp]), dtype=dtype)
+    d_np = rotm.quat_rotate(rotm.quat_conj(q_img[o_img]), scene.kp_ray[kp])
     centers = scene.image_centers()[o_img]
     ot = tracks.obs_track[o_idx].astype(np.int32)
     # segment offsets (obs sorted by track; empty tracks get len 0)
     t_len = np.bincount(ot, minlength=tracks.num_tracks).astype(np.int32)
     t_start = (np.concatenate([[0], np.cumsum(t_len)[:-1]])).astype(np.int32)
+    # bucket-pad obs and track axes so retriangulation rounds reuse the
+    # compiled solver: padded obs carry zero rays (never inliers) under a
+    # fresh pad track id (keeps ids sorted); pad tracks have t_len 0 so
+    # no hypothesis is ever eligible
+    from glomap_tpu.utils.padding import bucket_size, pad_axis0
+    n_obs = len(o_idx)
+    n_tr = tracks.num_tracks
+    n_tr_pad = bucket_size(max(n_tr, 1), 64)
+    n_obs_pad = bucket_size(max(n_obs, 1))
+    d_np = pad_axis0(np.asarray(d_np), n_obs_pad)
+    centers = pad_axis0(np.asarray(centers), n_obs_pad)
+    ot_p = pad_axis0(ot, n_obs_pad, fill=n_tr_pad - 1)
+    t_len = pad_axis0(t_len, n_tr_pad)
+    t_start = pad_axis0(t_start, n_tr_pad, fill=n_obs)
     X, sup, inl = ransac_triangulate(
-        jnp.asarray(ot), d, jnp.asarray(centers, dtype=dtype),
-        jnp.asarray(t_start), jnp.asarray(t_len), tracks.num_tracks,
+        jnp.asarray(ot_p), jnp.asarray(d_np, dtype=dtype),
+        jnp.asarray(centers, dtype=dtype),
+        jnp.asarray(t_start), jnp.asarray(t_len), n_tr_pad,
         num_hyps, float(np.cos(np.deg2rad(max_angle_error_deg))),
         float(np.deg2rad(min_tri_angle_deg)))
-    X = np.asarray(X, dtype=np.float64)
-    sup = np.asarray(sup)
+    X = np.asarray(X, dtype=np.float64)[:n_tr]
+    sup = np.asarray(sup)[:n_tr]
     ok = sup >= 2
     tracks.xyz[:] = np.where(ok[:, None], X, tracks.xyz)
-    inl = np.asarray(inl)
+    inl = np.asarray(inl)[:n_obs]
     drop = o_idx[~inl & ok[ot]]
     tracks.obs_valid[drop] = False
     return ok
@@ -215,14 +229,23 @@ def triangulate_tracks(scene: Scene, tracks: Tracks,
     o_img = tracks.obs_image[ob]
     kp = scene.kp_offset[o_img] + tracks.obs_feature[ob]
     q_img, t_img = scene.image_cam_from_world()
-    d = jnp.asarray(rotm.quat_rotate(rotm.quat_conj(q_img[o_img]),
-                                     scene.kp_ray[kp]), dtype=dtype)
+    d_np = rotm.quat_rotate(rotm.quat_conj(q_img[o_img]), scene.kp_ray[kp])
     centers = scene.image_centers()[o_img]
+    # bucket-pad (zero-weight pad rows, pad track collects them) so
+    # repeated calls across filter rounds reuse the compiled solver
+    from glomap_tpu.utils.padding import bucket_size, pad_axis0
+    n_obs = int(ob.sum())
+    n_tr = tracks.num_tracks
+    n_tr_pad = bucket_size(max(n_tr, 1), 64)
+    n_obs_pad = bucket_size(max(n_obs, 1))
+    w = pad_axis0(np.ones(n_obs), n_obs_pad)
     X, ok = midpoint_triangulate(
-        jnp.asarray(tracks.obs_track[ob].astype(np.int32)), d,
-        jnp.asarray(centers, dtype=dtype),
-        jnp.ones(int(ob.sum()), dtype=dtype), tracks.num_tracks)
-    X = np.asarray(X, dtype=np.float64)
-    ok = np.array(ok, copy=True)
+        jnp.asarray(pad_axis0(tracks.obs_track[ob].astype(np.int32),
+                              n_obs_pad, fill=n_tr_pad - 1)),
+        jnp.asarray(pad_axis0(np.asarray(d_np), n_obs_pad), dtype=dtype),
+        jnp.asarray(pad_axis0(np.asarray(centers), n_obs_pad), dtype=dtype),
+        jnp.asarray(w, dtype=dtype), n_tr_pad)
+    X = np.asarray(X, dtype=np.float64)[:n_tr]
+    ok = np.array(ok, copy=True)[:n_tr]
     tracks.xyz[:] = np.where(ok[:, None], X, tracks.xyz)
     return ok

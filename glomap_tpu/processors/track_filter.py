@@ -22,6 +22,8 @@ from glomap_tpu.scene.arrays import Scene, Tracks
 logger = logging.getLogger(__name__)
 EPS = 1e-12
 
+_img_from_cam_jit = jax.jit(lambda c, kind, x: cm.img_from_cam(c, kind, x))
+
 
 def _obs_geometry(scene: Scene, tracks: Tracks):
     """Common gathers: per-obs camera-frame point and undistorted ray.
@@ -53,10 +55,15 @@ def filter_tracks_by_reprojection(scene: Scene, tracks: Tracks,
         feat = ray[..., :2] / (ray[..., 2:3] + EPS)
         err = np.linalg.norm(proj - feat, axis=-1)
     else:
+        # camera-model projection on the local CPU backend: one jitted
+        # call instead of an eager op-chain on the (possibly remote)
+        # default device
         cams = scene.image_camera[tracks.obs_image]
-        px = np.asarray(cm.img_from_cam(jnp.asarray(scene.cam_params[cams]),
-                                        jnp.asarray(scene.cam_kind[cams]),
-                                        jnp.asarray(pt_cam)))
+        cpu = jax.devices("cpu")[0]
+        px = np.asarray(_img_from_cam_jit(
+            jax.device_put(scene.cam_params[cams], cpu),
+            jax.device_put(scene.cam_kind[cams], cpu),
+            jax.device_put(pt_cam, cpu)))
         err = np.linalg.norm(px - scene.kp_xy[kp], axis=-1)
     ok = np.asarray((err < max_reprojection_error) & (z >= EPS))
     bad = tracks.obs_valid & ~ok

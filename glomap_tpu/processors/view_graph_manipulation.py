@@ -61,9 +61,8 @@ def update_image_pairs_config(scene: Scene, vg: ViewGraph) -> int:
         K2i = np.asarray(tv.calib_matrix_inv(
             scene.cam_params[cj[idx], 0], scene.cam_params[cj[idx], 1],
             scene.cam_params[cj[idx], 2], scene.cam_params[cj[idx], 3]))
-        F = np.asarray(tv.fundamental_from_motion(
-            jnp.asarray(K1i), jnp.asarray(K2i),
-            jnp.asarray(vg.pair_quat[idx]), jnp.asarray(vg.pair_trans[idx])))
+        F = tv.fundamental_from_motion(K1i, K2i, vg.pair_quat[idx],
+                                       vg.pair_trans[idx])
         vg.pair_F[idx] = F
         logger.info("Promoted %d pairs to CALIBRATED", len(idx))
     return len(idx)
