@@ -96,9 +96,8 @@ def order_obs_for_locality(o_frame, o_point, num_tracks: int):
 def _axis_window(ids_padded: np.ndarray, cap: int = 4096) -> int:
     """Static kernel window for an id axis, or 0 if locality is too weak
     for the windowed kernels to pay off."""
-    from glomap_tpu.ops.pallas_kernels import block_width_for_sorted
-    w = block_width_for_sorted(ids_padded)
-    return w if w <= cap else 0
+    from glomap_tpu.ops.segment_ops import axis_window
+    return axis_window(ids_padded, cap)
 
 
 def _huber_weight(r2, delta):
@@ -196,49 +195,12 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
     # through the Pallas blocked local-one-hot kernel — O(O * width)
     # work independent of n_seg, the city-scale path. Unsorted + over
     # budget falls back to per-row 1-D segment sums.
+    from glomap_tpu.ops.segment_ops import make_axis_ops as _mao
+
     def make_axis_ops(idx, n_seg, sorted_width: int = 0):
-        """-> (reduce: (k, O) -> (n_seg, k), gather: (n_seg, k) -> (k, O)).
-
-        Both directions of every per-obs index axis run as MXU matmuls:
-        lane-axis gathers and 1-D scatter-adds each cost milliseconds per
-        100k observations on TPU (profiled), while a one-hot dot — with
-        the one-hot fused from an iota compare — runs at memory speed.
-        A SORTED axis (points: observations are ordered by track) uses
-        the Pallas blocked local-one-hot kernels instead, whose work is
-        O(O * width) independent of n_seg — the city-scale path.
-        """
-        if sorted_width:
-            from glomap_tpu.ops.pallas_kernels import (
-                _on_tpu, sorted_segment_gather, sorted_segment_rowsum)
-            interp = not _on_tpu()
-
-            def reduce(vals):
-                return sorted_segment_rowsum(vals, idx, n_seg,
-                                             sorted_width, interpret=interp)
-
-            def gather(tab):
-                return sorted_segment_gather(tab, idx, sorted_width,
-                                             interpret=interp)
-            return reduce, gather
-
-        if n_seg * num_obs <= one_hot_budget:
-            onehot = jax.nn.one_hot(idx, n_seg, dtype=dtype)  # (O, n)
-
-            def reduce(vals):
-                return jnp.einsum("ko,on->nk", vals, onehot)
-
-            def gather(tab):
-                return jnp.einsum("nk,on->ko", tab, onehot)
-            return reduce, gather
-
-        def reduce(vals):
-            return jnp.stack(
-                [jax.ops.segment_sum(vals[i], idx, num_segments=n_seg)
-                 for i in range(vals.shape[0])], axis=-1)
-
-        def gather(tab):
-            return tab.T[:, idx]
-        return reduce, gather
+        """See ops/segment_ops.make_axis_ops (shared with GP)."""
+        return _mao(idx, n_seg, num_obs, dtype, sorted_width,
+                    one_hot_budget)
 
     reduce_f, gather_f = make_axis_ops(o_frame, num_frames, frame_width)
     reduce_c, gather_c = make_axis_ops(o_cam, num_cams)

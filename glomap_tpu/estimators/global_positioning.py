@@ -56,79 +56,128 @@ def _huber_cost(r2, delta):
         jnp.maximum(r2, 1e-30)) - d2)
 
 
+def _blocks_from_moments(m, eye3):
+    """(n, 7) reduced moments [a, a hx hx, a hx hy, a hx hz, a hy hy,
+    a hy hz, a hz hz] -> (n, 3, 3) blocks  sum a (I - h h^T)."""
+    A = m[:, 0]
+    M = jnp.stack([
+        jnp.stack([m[:, 1], m[:, 2], m[:, 3]], -1),
+        jnp.stack([m[:, 2], m[:, 4], m[:, 5]], -1),
+        jnp.stack([m[:, 3], m[:, 5], m[:, 6]], -1),
+    ], axis=-2)
+    return A[:, None, None] * eye3 - M
+
+
 @partial(jax.jit, static_argnames=("num_frames", "num_points", "max_iters",
-                                   "cg_iters"))
+                                   "cg_iters", "point_width"))
 def _solve_gp(c0, X0,
-              # point-to-camera observations
-              obs_frame, obs_point, t_obs, u_rig, obs_w,
+              # point-to-camera observations; per-obs data is LANE-MAJOR
+              # (rows, O) — (O, 3) arrays tile-pad ~42x on TPU
+              obs_frame, obs_point, t_obsT, u_rigT, obs_w,
               # camera-to-camera edges (may be empty)
-              cc_i, cc_j, t_cc, cc_w,
+              cc_i, cc_j, t_ccT, cc_w,
               num_frames: int, num_points: int,
               huber_delta: float, function_tol: float,
-              max_iters: int, cg_iters: int):
+              max_iters: int, cg_iters: int, point_width: int = 0):
     """LM with exact scale projection + point Schur elimination.
+
+    Lane-major re-design (same treatment that took BA from 8.5 to >100
+    LM iters/s): per-obs quantities are (k, O) row stacks, the frame
+    axis reduces/gathers through one-hot MXU matmuls, the (sorted) point
+    axis through the Pallas sorted-window kernels, and the 3x3
+    projection blocks a_o (I - h h^T) are never materialized per
+    observation — applying one to a row stack is h(h·u) arithmetic, and
+    the per-frame/per-point Hessian blocks assemble from 7 reduced
+    moment rows.
 
     Returns (centers, points, final_cost, iters).
     """
     dtype = c0.dtype
+    num_obs = obs_frame.shape[0]
+    num_cc = cc_i.shape[0]
+    eye3 = jnp.eye(3, dtype=dtype)
 
-    def scales_and_residuals(c, X):
-        d = X[obs_point] - c[obs_frame] + u_rig
-        dn2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12)
-        s = jnp.maximum(jnp.sum(t_obs * d, axis=-1) / dn2, 1e-5)
-        r = t_obs - s[:, None] * d
-        # cam-to-cam
-        dc = c[cc_j] - c[cc_i]
-        dcn2 = jnp.maximum(jnp.sum(dc * dc, axis=-1), 1e-12)
-        sc = jnp.maximum(jnp.sum(t_cc * dc, axis=-1) / dcn2, 1e-5)
-        rc = t_cc - sc[:, None] * dc
-        return s, r, sc, rc
+    from glomap_tpu.ops.segment_ops import make_axis_ops
+    reduce_f, gather_f = make_axis_ops(obs_frame, num_frames, num_obs,
+                                       dtype)
+    reduce_p, gather_p = make_axis_ops(obs_point, num_points, num_obs,
+                                       dtype, sorted_width=point_width)
+    if num_cc:
+        reduce_ci, gather_ci = make_axis_ops(cc_i, num_frames, num_cc,
+                                             dtype)
+        reduce_cj, gather_cj = make_axis_ops(cc_j, num_frames, num_cc,
+                                             dtype)
+
+    def rows_obs(c, X):
+        """Per-obs direction/scale/residual rows from parameters."""
+        dT = gather_p(X) - gather_f(c) + u_rigT      # (3, O)
+        dn2 = jnp.maximum(jnp.sum(dT * dT, 0), 1e-12)
+        s = jnp.maximum(jnp.sum(t_obsT * dT, 0) / dn2, 1e-5)
+        rT = t_obsT - s * dT
+        return dT, dn2, s, rT
+
+    def rows_cc(c):
+        dT = gather_cj(c) - gather_ci(c)
+        dn2 = jnp.maximum(jnp.sum(dT * dT, 0), 1e-12)
+        s = jnp.maximum(jnp.sum(t_ccT * dT, 0) / dn2, 1e-5)
+        rT = t_ccT - s * dT
+        return dT, dn2, s, rT
 
     def cost_of(c, X):
-        s, r, sc, rc = scales_and_residuals(c, X)
-        r2 = jnp.sum(r * r, axis=-1)
-        rc2 = jnp.sum(rc * rc, axis=-1)
-        return (jnp.sum(obs_w * _huber_cost(r2, huber_delta)) +
-                jnp.sum(cc_w * _huber_cost(rc2, huber_delta)))
+        _, _, s, rT = rows_obs(c, X)
+        cost = jnp.sum(obs_w * _huber_cost(jnp.sum(rT * rT, 0),
+                                           huber_delta))
+        if num_cc:
+            _, _, sc, rcT = rows_cc(c)
+            cost = cost + jnp.sum(cc_w * _huber_cost(
+                jnp.sum(rcT * rcT, 0), huber_delta))
+        return cost
 
-    eye3 = jnp.eye(3, dtype=dtype)
+    def moments(a, hT):
+        """(7, O) rows for the block assembly."""
+        return jnp.stack([a,
+                          a * hT[0] * hT[0], a * hT[0] * hT[1],
+                          a * hT[0] * hT[2], a * hT[1] * hT[1],
+                          a * hT[1] * hT[2], a * hT[2] * hT[2]])
 
     def lm_step(state):
         c, X, lam, cost, it, done, _ = state
-        s, r, sc, rc = scales_and_residuals(c, X)
-        w = obs_w * _huber_weight(jnp.sum(r * r, -1), huber_delta)
-        wc = cc_w * _huber_weight(jnp.sum(rc * rc, -1), huber_delta)
-
         # EXACT scale elimination (Golub-Pereyra): eliminating the
-        # per-residual scale s (J_s = -d) turns every +-sI3 Jacobian block
-        # into a_o * P_o with a_o = w s^2 and P_o = I - dd^T/|d|^2 (the
-        # projection orthogonal to the observation baseline). The gradient
-        # is unchanged because dL/ds = 0 at the projected scale.
-        d = X[obs_point] - c[obs_frame] + u_rig
-        dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
-                             1e-12)
-        P = eye3 - dn[:, :, None] * dn[:, None, :]
+        # per-residual scale s (J_s = -d) turns every +-sI3 Jacobian
+        # block into a_o P_o with a_o = w s^2 and P_o = I - h h^T (the
+        # projection orthogonal to the observation baseline). The
+        # gradient is unchanged because dL/ds = 0 at the projected scale.
+        dT, dn2, s, rT = rows_obs(c, X)
+        w = obs_w * _huber_weight(jnp.sum(rT * rT, 0), huber_delta)
+        hT = dT / jnp.sqrt(dn2)
         a = w * s * s
-        aP = a[:, None, None] * P  # (O, 3, 3)
 
-        g_c = jax.ops.segment_sum((w * s)[:, None] * r, obs_frame,
-                                  num_segments=num_frames)
-        g_X = jax.ops.segment_sum(-(w * s)[:, None] * r, obs_point,
-                                  num_segments=num_points)
-        dcc = c[cc_j] - c[cc_i]
-        dccn = dcc / jnp.maximum(jnp.linalg.norm(dcc, axis=-1, keepdims=True),
-                                 1e-12)
-        Pc = eye3 - dccn[:, :, None] * dccn[:, None, :]
-        ac = wc * sc * sc
-        aPc = ac[:, None, None] * Pc
-        # cam-to-cam residual t - s(c_j - c_i): dr/dc_i = +s I, dr/dc_j = -s I
-        g_c = g_c.at[cc_i].add((wc * sc)[:, None] * rc)
-        g_c = g_c.at[cc_j].add(-(wc * sc)[:, None] * rc)
+        def apply_aP(uT):
+            """a (I - h h^T) u on row stacks (3, O)."""
+            return a * (uT - hT * jnp.sum(hT * uT, 0))
 
-        # block-diagonal Hessian blocks (3x3 per frame / per point)
-        B_f = jax.ops.segment_sum(aP, obs_frame, num_segments=num_frames)
-        B_f = B_f.at[cc_i].add(aPc).at[cc_j].add(aPc)
-        B_p = jax.ops.segment_sum(aP, obs_point, num_segments=num_points)
+        g_c = reduce_f((w * s) * rT)                  # (F, 3)
+        g_X = reduce_p(-(w * s) * rT)                 # (T, 3)
+        m_f = reduce_f(moments(a, hT))                # (F, 7)
+        m_p = reduce_p(moments(a, hT))                # (T, 7)
+
+        if num_cc:
+            dcT, dcn2, sc, rcT = rows_cc(c)
+            wc = cc_w * _huber_weight(jnp.sum(rcT * rcT, 0), huber_delta)
+            hcT = dcT / jnp.sqrt(dcn2)
+            acc = wc * sc * sc
+
+            def apply_aPc(uT):
+                return acc * (uT - hcT * jnp.sum(hcT * uT, 0))
+
+            # residual t - s(c_j - c_i): dr/dc_i = +sI, dr/dc_j = -sI
+            g_c = g_c + reduce_ci((wc * sc) * rcT) \
+                - reduce_cj((wc * sc) * rcT)
+            mc = moments(acc, hcT)
+            m_f = m_f + reduce_ci(mc) + reduce_cj(mc)
+
+        B_f = _blocks_from_moments(m_f, eye3)
+        B_p = _blocks_from_moments(m_p, eye3)
 
         def damp(B):
             diag = jnp.diagonal(B, axis1=-2, axis2=-1)
@@ -139,25 +188,18 @@ def _solve_gp(c0, X0,
         B_p_d = damp(B_p)
         Bp_inv = jnp.linalg.inv(B_p_d)
 
-        def apply_obs(M, v_per_obs):
-            return jnp.einsum("oij,oj->oi", M, v_per_obs)
-
         # rhs of the Schur system on frames: b_f = -g_c - H_cp Bp_inv (-g_X)
         z = jnp.einsum("tij,tj->ti", Bp_inv, -g_X)
-        b_f = -g_c - jax.ops.segment_sum(apply_obs(-aP, z[obs_point]),
-                                         obs_frame, num_segments=num_frames)
+        b_f = -g_c - reduce_f(-apply_aP(gather_p(z)))
 
         def schur_mv(v):
             out = jnp.einsum("fij,fj->fi", B_f_d, v)
-            out = out.at[cc_i].add(apply_obs(-aPc, v[cc_j]))
-            out = out.at[cc_j].add(apply_obs(-aPc, v[cc_i]))
-            Hpcv = jax.ops.segment_sum(apply_obs(-aP, v[obs_frame]),
-                                       obs_point, num_segments=num_points)
+            if num_cc:
+                out = out + reduce_ci(-apply_aPc(gather_cj(v))) \
+                    + reduce_cj(-apply_aPc(gather_ci(v)))
+            Hpcv = reduce_p(-apply_aP(gather_f(v)))
             z2 = jnp.einsum("tij,tj->ti", Bp_inv, Hpcv)
-            out = out - jax.ops.segment_sum(apply_obs(-aP, z2[obs_point]),
-                                            obs_frame,
-                                            num_segments=num_frames)
-            return out
+            return out - reduce_f(-apply_aP(gather_p(z2)))
 
         # block-Jacobi preconditioner from the damped frame blocks
         Bf_inv = jnp.linalg.inv(B_f_d)
@@ -166,8 +208,7 @@ def _solve_gp(c0, X0,
         dc_step = cg_generic(schur_mv, b_f, max_iters=cg_iters, tol=1e-8,
                              precond=precond)
         # back-substitute points: dX = Bp_inv (-g_X - H_pc dc)
-        Hpcdc = jax.ops.segment_sum(apply_obs(-aP, dc_step[obs_frame]),
-                                    obs_point, num_segments=num_points)
+        Hpcdc = reduce_p(-apply_aP(gather_f(dc_step)))
         dX = jnp.einsum("tij,tj->ti", Bp_inv, -g_X - Hpcdc)
 
         c_new = c + dc_step
@@ -192,6 +233,43 @@ def _solve_gp(c0, X0,
              jnp.asarray(False), jnp.asarray(True))
     c, X, lam, cost, it, _, _ = jax.lax.while_loop(cond, lm_step, state)
     return c, X, cost, it
+
+
+@partial(jax.jit, static_argnames=("num_sensors", "huber_delta"))
+def _sensor_gn(c, X, of, op, tT, uT, ow, q_f_o, unk_o, o_sens,
+               cs, num_sensors: int, huber_delta: float):
+    """Three Gauss-Newton iterations on the unknown sensor centers with
+    the Golub-Pereyra projected Jacobian (d r / d cs = s P R_f^T) —
+    converges quadratically, unlike naive alternation. One jitted call
+    (this was an eager op-chain measured in seconds through the remote
+    tunnel). Returns (cs, updated uT)."""
+    dtype = c.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    Rf = rotm.quat_to_rotmat(q_f_o)
+    t_obs = tT.T
+    u_rig = uT.T
+    for _gn in range(3):
+        d = X[op] - c[of] + u_rig
+        dn2 = jnp.maximum(jnp.sum(d * d, -1), 1e-12)
+        s = jnp.maximum(jnp.sum(t_obs * d, -1) / dn2, 1e-5)
+        r = t_obs - s[:, None] * d
+        w = ow * _huber_weight(jnp.sum(r * r, -1), huber_delta)
+        w = jnp.where(unk_o, w, 0.0)
+        dhat = d / jnp.sqrt(dn2)[:, None]
+        P = eye3 - dhat[:, :, None] * dhat[:, None, :]
+        RPRt = jnp.einsum("oij,ojk,olk->oil", Rf, P, Rf)
+        Hs = jax.ops.segment_sum(
+            (w * s * s)[:, None, None] * RPRt, o_sens,
+            num_segments=num_sensors)
+        gs = jax.ops.segment_sum(
+            (w * s)[:, None] * jnp.einsum("oij,oj->oi", Rf, r),
+            o_sens, num_segments=num_sensors)
+        tr = jnp.trace(Hs, axis1=-2, axis2=-1)
+        Hs = Hs + (1e-9 * jnp.maximum(tr, 1e-12))[:, None, None] * eye3
+        cs = cs - jnp.linalg.solve(Hs, gs[..., None])[..., 0]
+        u_new = -jnp.einsum("oji,oj->oi", Rf, cs[o_sens])
+        u_rig = jnp.where(unk_o[:, None], u_new, u_rig)
+    return cs, u_rig.T
 
 
 def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
@@ -297,9 +375,13 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
     n_obs_pad = bucket_size(max(n_obs, 1))
     n_obs_pad += (-n_obs_pad) % n_dev
     o_frame = pad_axis0(np.asarray(o_frame, np.int32), n_obs_pad)
-    o_point_np = pad_axis0(np.asarray(o_point, np.int32), n_obs_pad)
-    t_obs = jnp.asarray(pad_axis0(np.asarray(t_obs), n_obs_pad), dtype=dtype)
-    u_rig = jnp.asarray(pad_axis0(np.asarray(u_rig), n_obs_pad), dtype=dtype)
+    # pad point ids with the LAST id so the axis stays sorted (the Pallas
+    # sorted-window kernels rely on it; padded rows carry zero weight)
+    fill_p = int(o_point[-1]) if n_obs else 0
+    o_point_np = pad_axis0(np.asarray(o_point, np.int32), n_obs_pad,
+                           fill=fill_p)
+    t_obs_np = pad_axis0(np.asarray(t_obs), n_obs_pad)
+    u_rig_np = pad_axis0(np.asarray(u_rig), n_obs_pad)
     obs_w = pad_axis0(np.asarray(obs_w), n_obs_pad)
     if n_obs:
         unknown_obs = pad_axis0(unknown_obs, n_obs_pad, fill=False)
@@ -311,34 +393,43 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
     n_cc_pad += (-n_cc_pad) % n_dev
     cc_i = pad_axis0(np.asarray(cc_i, np.int32), n_cc_pad) if n_cc else         np.zeros(0, np.int32)
     cc_j = pad_axis0(np.asarray(cc_j, np.int32), n_cc_pad) if n_cc else         np.zeros(0, np.int32)
-    t_cc = jnp.asarray(pad_axis0(np.asarray(t_cc), n_cc_pad), dtype=dtype)         if n_cc else jnp.zeros((0, 3), dtype=dtype)
+    t_cc_np = pad_axis0(np.asarray(t_cc), n_cc_pad) if n_cc else         np.zeros((0, 3))
     cc_w = pad_axis0(np.asarray(cc_w), n_cc_pad) if n_cc else np.zeros(0)
     num_points_pad = bucket_size(num_points, 64)
     X0 = pad_axis0(np.asarray(X0), num_points_pad)
 
+    # sorted-point-axis Pallas window (0 = one-hot/fallback path; also 0
+    # under a mesh — pallas_call is opaque to the SPMD partitioner)
+    from glomap_tpu.ops.segment_ops import axis_window
+    point_width = axis_window(o_point_np) if mesh is None else 0
+
     args_static = (num_frames, num_points_pad,
                    float(opts.thres_loss_function),
                    float(opts.function_tolerance),
-                   int(opts.max_num_iterations), 100)
+                   int(opts.max_num_iterations), 100, point_width)
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
         from glomap_tpu.parallel.mesh import replicate, shard_obs
         _sh = lambda a: shard_obs(mesh, a)
+        # lane-major (k, O) rows: obs axis is axis 1
+        _shT = lambda a: jax.device_put(a, NamedSharding(mesh,
+                                                         P(None, "obs")))
         _rep = lambda a: replicate(mesh, a)
     else:
-        _sh = _rep = lambda a: a
+        _sh = _shT = _rep = lambda a: a
     of = _sh(jnp.asarray(o_frame))
     op = _sh(jnp.asarray(o_point_np))
     ow = _sh(jnp.asarray(obs_w, dtype=dtype))
-    t_obs = _sh(t_obs)
-    u_rig = _sh(u_rig)
+    tT = _shT(jnp.asarray(np.ascontiguousarray(t_obs_np.T), dtype=dtype))
+    uT = _shT(jnp.asarray(np.ascontiguousarray(u_rig_np.T), dtype=dtype))
     ci = _sh(jnp.asarray(cc_i))
     cj = _sh(jnp.asarray(cc_j))
     cw = _sh(jnp.asarray(cc_w, dtype=dtype))
-    t_cc = _sh(t_cc)
+    tccT = _shT(jnp.asarray(np.ascontiguousarray(t_cc_np.T), dtype=dtype))
     c0 = _rep(jnp.asarray(c0, dtype=dtype))
     X0 = _rep(jnp.asarray(X0, dtype=dtype))
 
-    has_rig_offsets = bool(np.any(np.abs(np.asarray(u_rig)) > 0))
+    has_rig_offsets = bool(np.any(np.abs(u_rig_np) > 0))
     if has_rig_offsets:
         # Known rig offsets are METRIC, so the problem has no scale gauge —
         # but a random init easily settles in a wrong-scale basin where the
@@ -347,35 +438,44 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
         # explains the metric rig offsets by a log-grid search, (3) refine
         # with the offsets enabled. (The reference instead anchors gauge by
         # pinning the first residual scale, global_positioning.cc:484-489.)
-        u0 = jnp.zeros_like(u_rig)
+        u0 = jnp.zeros_like(uT)
         c1, X1, _, _ = _solve_gp(c0, X0,
-                                 of, op, t_obs, u0, ow, ci, cj, t_cc, cw,
+                                 of, op, tT, u0, ow, ci, cj, tccT, cw,
                                  *args_static)
 
-        def cost_at_scale(sg):
-            d = sg * (X1[op] - c1[of]) + u_rig
-            dn2 = jnp.maximum(jnp.sum(d * d, -1), 1e-12)
-            s = jnp.maximum(jnp.sum(t_obs * d, -1) / dn2, 1e-5)
-            r = t_obs - s[:, None] * d
-            r2 = jnp.sum(r * r, -1)
-            return jnp.sum(ow * _huber_cost(r2,
-                                            float(opts.thres_loss_function)))
+        # scale grid search on host (tiny; avoids tunnel round-trips)
+        c1_np = np.asarray(c1, np.float64)
+        X1_np = np.asarray(X1, np.float64)
+        d_base = X1_np[o_point_np] - c1_np[o_frame]
+        w_np = np.asarray(obs_w, np.float64)
+        hub = float(opts.thres_loss_function)
 
-        grid = jnp.exp(jnp.linspace(np.log(1e-3), np.log(1e3), 121))
-        costs = jax.vmap(cost_at_scale)(grid.astype(dtype))
-        sg = float(grid[int(jnp.argmin(costs))])
+        def cost_at_scale(sg):
+            d = sg * d_base + u_rig_np
+            dn2 = np.maximum(np.sum(d * d, -1), 1e-12)
+            s = np.maximum(np.sum(t_obs_np * d, -1) / dn2, 1e-5)
+            r = t_obs_np - s[:, None] * d
+            r2 = np.sum(r * r, -1)
+            return float(np.sum(w_np * np.where(
+                r2 <= hub * hub, r2,
+                2.0 * hub * np.sqrt(np.maximum(r2, 1e-30)) - hub * hub)))
+
+        grid = np.exp(np.linspace(np.log(1e-3), np.log(1e3), 121))
+        costs = np.asarray([cost_at_scale(sg) for sg in grid])
+        sg = float(grid[int(np.argmin(costs))])
         # graduated non-convexity: quadratic-ish pass first (large Huber
         # delta smooths the basin), then the robust refinement
-        c2, X2, _, _ = _solve_gp(sg * c1, sg * X1, of, op, t_obs, u_rig,
-                                 ow, ci, cj, t_cc, cw,
+        c2, X2, _, _ = _solve_gp(sg * c1, sg * X1, of, op, tT, uT,
+                                 ow, ci, cj, tccT, cw,
                                  num_frames, num_points_pad, 1e3,
                                  float(opts.function_tolerance),
-                                 int(opts.max_num_iterations), 100)
-        c, X, cost, it = _solve_gp(c2, X2, of, op, t_obs, u_rig,
-                                   ow, ci, cj, t_cc, cw, *args_static)
+                                 int(opts.max_num_iterations), 100,
+                                 point_width)
+        c, X, cost, it = _solve_gp(c2, X2, of, op, tT, uT,
+                                   ow, ci, cj, tccT, cw, *args_static)
     else:
         c, X, cost, it = _solve_gp(c0, X0,
-                                   of, op, t_obs, u_rig, ow, ci, cj, t_cc,
+                                   of, op, tT, uT, ow, ci, cj, tccT,
                                    cw, *args_static)
 
     # ---- unknown cam_from_rig: alternate GP <-> sensor-center updates
@@ -390,38 +490,13 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
         q_f_o = _sh(jnp.asarray(q_frame_o, dtype=dtype))
         unk_o = _sh(jnp.asarray(unknown_obs))
         o_sens = _sh(jnp.asarray(o_sensor.astype(np.int32)))
-        Rf = rotm.quat_to_rotmat(q_f_o)
-        eye3 = jnp.eye(3, dtype=dtype)
         cs = _rep(jnp.zeros((num_sensors, 3), dtype=dtype))
         for _ in range(3):
-            # Gauss-Newton on the sensor centers with the Golub-Pereyra
-            # projected Jacobian (d r / d cs = s P R_f^T): converges
-            # quadratically, unlike naive alternation.
-            for _gn in range(3):
-                d = X[op] - c[of] + u_rig
-                dn2 = jnp.maximum(jnp.sum(d * d, -1), 1e-12)
-                s = jnp.maximum(jnp.sum(t_obs * d, -1) / dn2, 1e-5)
-                r = t_obs - s[:, None] * d
-                w = ow * _huber_weight(jnp.sum(r * r, -1),
-                                       float(opts.thres_loss_function))
-                w = jnp.where(unk_o, w, 0.0)
-                dhat = d / jnp.sqrt(dn2)[:, None]
-                P = eye3 - dhat[:, :, None] * dhat[:, None, :]
-                RPRt = jnp.einsum("oij,ojk,olk->oil", Rf, P, Rf)
-                Hs = jax.ops.segment_sum(
-                    (w * s * s)[:, None, None] * RPRt, o_sens,
-                    num_segments=num_sensors)
-                gs = jax.ops.segment_sum(
-                    (w * s)[:, None] * jnp.einsum("oij,oj->oi", Rf, r),
-                    o_sens, num_segments=num_sensors)
-                tr = jnp.trace(Hs, axis1=-2, axis2=-1)
-                Hs = Hs + (1e-9 * jnp.maximum(tr, 1e-12))[:, None, None] * \
-                    eye3
-                cs = cs - jnp.linalg.solve(Hs, gs[..., None])[..., 0]
-                u_new = -jnp.einsum("oji,oj->oi", Rf, cs[o_sens])
-                u_rig = jnp.where(unk_o[:, None], u_new, u_rig)
-            c, X, cost, it = _solve_gp(c, X, of, op, t_obs, u_rig, ow,
-                                       ci, cj, t_cc, cw, *args_static)
+            cs, uT = _sensor_gn(c, X, of, op, tT, uT, ow, q_f_o, unk_o,
+                                o_sens, cs, num_sensors,
+                                float(opts.thres_loss_function))
+            c, X, cost, it = _solve_gp(c, X, of, op, tT, uT, ow,
+                                       ci, cj, tccT, cw, *args_static)
         # write back: sensor_from_rig translation t_s = -R_s c_s
         cs_np = np.asarray(cs, dtype=np.float64)
         unk_sensors = np.nonzero(~scene.sensor_known)[0]

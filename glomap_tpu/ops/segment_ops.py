@@ -1,0 +1,73 @@
+"""Index-axis traffic for lane-major solvers: matmul segment ops.
+
+TPU scatter-adds are the slowest ops in an LM solve (~1 ms per
+100k-element 1-D scatter measured on v5e) and lane-axis gathers run at
+~5 GB/s, so BOTH directions of every per-observation index axis must be
+matmuls (SURVEY.md §3.5; the reference's counterpart is Ceres'
+sparse-matrix products inside SPARSE_SCHUR):
+
+ * small segment axis  -> one-hot dot; XLA fuses the iota-compare into
+   the MXU op so no (O, n) operand materializes;
+ * sorted segment axis -> the Pallas blocked local-one-hot kernels
+   (ops/pallas_kernels.py), O(O * width) work independent of n_seg —
+   the city-scale path (points: observations are ordered by track);
+ * unsorted + over budget -> per-row 1-D segment sums (fallback).
+
+Shared by estimators/bundle_adjustment.py and
+estimators/global_positioning.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def axis_window(ids_padded: np.ndarray, cap: int = 4096) -> int:
+    """Static Pallas kernel window for a sorted id axis, or 0 if locality
+    is too weak for the windowed kernels to pay off (host-side)."""
+    from glomap_tpu.ops.pallas_kernels import block_width_for_sorted
+    w = block_width_for_sorted(ids_padded)
+    return w if w <= cap else 0
+
+
+def make_axis_ops(idx, n_seg: int, num_obs: int, dtype,
+                  sorted_width: int = 0, one_hot_budget: int = 1 << 28):
+    """-> (reduce: (k, O) -> (n_seg, k), gather: (n_seg, k) -> (k, O)).
+
+    idx: (O,) int32 segment ids (a traced array); n_seg/num_obs/widths
+    static. Call inside jit.
+    """
+    if sorted_width:
+        from glomap_tpu.ops.pallas_kernels import (
+            _on_tpu, sorted_segment_gather, sorted_segment_rowsum)
+        interp = not _on_tpu()
+
+        def reduce(vals):
+            return sorted_segment_rowsum(vals, idx, n_seg,
+                                         sorted_width, interpret=interp)
+
+        def gather(tab):
+            return sorted_segment_gather(tab, idx, sorted_width,
+                                         interpret=interp)
+        return reduce, gather
+
+    if n_seg * num_obs <= one_hot_budget:
+        onehot = jax.nn.one_hot(idx, n_seg, dtype=dtype)  # (O, n)
+
+        def reduce(vals):
+            return jnp.einsum("ko,on->nk", vals, onehot)
+
+        def gather(tab):
+            return jnp.einsum("nk,on->ko", tab, onehot)
+        return reduce, gather
+
+    def reduce(vals):
+        return jnp.stack(
+            [jax.ops.segment_sum(vals[i], idx, num_segments=n_seg)
+             for i in range(vals.shape[0])], axis=-1)
+
+    def gather(tab):
+        return tab.T[:, idx]
+    return reduce, gather
