@@ -141,7 +141,8 @@ _resid_and_jac_v = jax.vmap(_resid_and_jac,
                                    "num_sensors", "max_iters", "cg_iters",
                                    "optimize_points", "fast_path",
                                    "optimize_rig", "point_width",
-                                   "frame_width", "one_hot_budget"))
+                                   "frame_width", "one_hot_budget",
+                                   "mesh_axis"))
 def _solve_ba(frame_quat, frame_trans, cam_params, points,
               # static per-obs data
               o_frame, o_cam, o_point, o_sensor_q, o_sensor_t, o_kind,
@@ -161,7 +162,16 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
               # points / `frame_width` distinct frames (0 = unbounded);
               # see order_obs_for_locality
               point_width: int = 0, frame_width: int = 0,
-              one_hot_budget: int = 1 << 28):
+              one_hot_budget: int = 1 << 28,
+              # partition-aware SPMD (parallel/partitioned_ba): when set,
+              # the solver runs INSIDE shard_map with observations AND
+              # points sharded by graph part and frame/camera parameter
+              # blocks replicated. Point-axis reductions stay local (a
+              # point's observations live on one device by construction);
+              # frame/camera reductions psum over this mesh axis — the
+              # "local Schur partials + psum of the reduced camera
+              # system" design of SURVEY.md §2.3.
+              mesh_axis: str | None = None):
     """Lane-major LM solver: all per-observation Jacobian data lives as
     (k, O) row stacks (observations in the 128-lane axis), never as
     (O, 2, k) blocks — a (O, 2, 25) f32 array tile-pads ~20x on TPU and
@@ -197,18 +207,25 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
     # budget falls back to per-row 1-D segment sums.
     from glomap_tpu.ops.segment_ops import make_axis_ops as _mao
 
-    def make_axis_ops(idx, n_seg, sorted_width: int = 0):
+    def make_axis_ops(idx, n_seg, sorted_width: int = 0, psum: bool = True):
         """See ops/segment_ops.make_axis_ops (shared with GP)."""
         return _mao(idx, n_seg, num_obs, dtype, sorted_width,
-                    one_hot_budget)
+                    one_hot_budget,
+                    psum_axis=mesh_axis if psum else None)
 
+    # point-axis traffic is LOCAL under partition sharding: observations
+    # are co-located with their point's shard (parallel/partitioned_ba)
     reduce_f, gather_f = make_axis_ops(o_frame, num_frames, frame_width)
     reduce_c, gather_c = make_axis_ops(o_cam, num_cams)
-    reduce_p, gather_p = make_axis_ops(o_point, num_points, point_width)
+    reduce_p, gather_p = make_axis_ops(o_point, num_points, point_width,
+                                       psum=False)
     if optimize_rig:
         reduce_s, gather_s = make_axis_ops(o_sensor, num_sensors)
     else:
         reduce_s = gather_s = None
+
+    def psum_scalar(x):
+        return jax.lax.psum(x, mesh_axis) if mesh_axis is not None else x
 
     fm_o = gather_f(frame_mask)  # (6, O)
     if optimize_rig:
@@ -294,7 +311,7 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
             s_t = st if optimize_rig else sensor_trans
             rT = _persp_resid_rows(*_persp_rows(fq, ft, s_q, s_t, cp, X))
             r2 = rT[0] * rT[0] + rT[1] * rT[1]
-            return jnp.sum(o_w * _huber_cost(r2, huber_delta))
+            return psum_scalar(jnp.sum(o_w * _huber_cost(r2, huber_delta)))
         qs_o, ts_o = (o_sensor_q, o_sensor_t) if not optimize_rig \
             else (sq[o_sensor], st[o_sensor])
 
@@ -304,7 +321,7 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         r = jax.vmap(one)(fq[o_frame], ft[o_frame], qs_o, ts_o,
                           cp[o_cam], o_kind, X[o_point], o_uv, o_T)
         r2 = jnp.sum(r * r, axis=-1)
-        return jnp.sum(o_w * _huber_cost(r2, huber_delta))
+        return psum_scalar(jnp.sum(o_w * _huber_cost(r2, huber_delta)))
 
     def lm_step(state):
         fq, ft, cp, X, sq, st, lam, cost, it, done, _ = state
@@ -380,14 +397,17 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
             if not big_cam_blocks:
                 return reduce_c(jnp.stack(rows_mm(A3, B3, 16, 16))
                                 ).reshape(num_cams, 16, 16)
-            outs = []
-            for c in range(num_cams):
-                m = cam_mask_row(c)
-                Af = (A3 * m).reshape(32, num_obs)
-                Bf = B3.reshape(32, num_obs)
+            Bf = B3.reshape(32, num_obs)
+
+            def one(_, c):
+                Af = (A3 * cam_mask_row(c)).reshape(32, num_obs)
                 full = Af @ Bf.T  # (32, 32)
-                outs.append(full[0:16, 0:16] + full[16:32, 16:32])
-            return jnp.stack(outs)
+                return None, full[0:16, 0:16] + full[16:32, 16:32]
+
+            # lax.scan (not a Python loop): compile size stays O(1) in the
+            # number of cameras (city scenes can carry hundreds)
+            _, outs = jax.lax.scan(one, None, jnp.arange(num_cams))
+            return psum_scalar(outs)
 
         def tie_g(g_raw):  # (C, 16) -> tied
             return jnp.einsum("cij,cj->ci", T_t, g_raw)
@@ -520,12 +540,14 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
             D = jnp.stack([sum(C[i * 3 + j] * Bpi_o[j * 3 + m]
                                for j in range(3))
                            for i in range(16) for m in range(3)])
-            outs = []
-            for c in range(num_cams):
+
+            def one(_, c):
                 EF = (D * cam_mask_row(c)) @ C.T  # (48, 48)
-                outs.append(jnp.einsum("imlm->il",
-                                       EF.reshape(16, 3, 16, 3)))
-            return jnp.stack(outs)
+                return None, jnp.einsum("imlm->il",
+                                        EF.reshape(16, 3, 16, 3))
+
+            _, outs = jax.lax.scan(one, None, jnp.arange(num_cams))
+            return psum_scalar(outs)
 
         S_f = B_f_d - schur_corr(Jf, 6, reduce_f).reshape(num_frames, 6, 6)
         S_c = B_c_d - tie_B(schur_corr_cam())
@@ -617,17 +639,21 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
 
     Counterpart of BundleAdjuster::Solve (bundle_adjustment.cc:11-106).
 
-    mesh: optional jax.sharding.Mesh — observation arrays are sharded on
-    its leading axis and parameter blocks replicated; XLA SPMD turns
-    every segment reduction into local partials + one AllReduce over ICI
-    (SURVEY.md §2.3). The Pallas windowed fast path is disabled under a
-    mesh (pallas_call is opaque to the SPMD partitioner).
+    mesh: optional jax.sharding.Mesh — routes to the partition-aware
+    distributed solver (parallel/partitioned_ba): points and observations
+    sharded by graph part under shard_map, frame/camera blocks replicated,
+    camera-side reductions psum'd over ICI; the Pallas lane-major kernels
+    run locally per device, so the fast path survives distribution.
     """
     opts = opts or BundleAdjusterOptions()
     from glomap_tpu.utils.dtypes import solver_dtype
     dtype = dtype or solver_dtype()
     if tracks.num_obs == 0:
         return False
+    if mesh is not None:
+        from glomap_tpu.parallel.partitioned_ba import solve_ba_partitioned
+        cost, _ = solve_ba_partitioned(scene, tracks, mesh, opts, dtype)
+        return bool(np.isfinite(cost))
 
     lengths = np.bincount(tracks.obs_track[tracks.obs_valid],
                           minlength=tracks.num_tracks)
@@ -663,12 +689,8 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
     # zero weight -> exact no-ops). Pads repeat the LAST id so the tail
     # block's window stays bounded.
     from glomap_tpu.utils.padding import bucket_size, pad_axis0
-    n_dev = 1
-    if mesh is not None:
-        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     n_obs = len(o_img)
     n_obs_pad = bucket_size(n_obs)
-    n_obs_pad += (-n_obs_pad) % n_dev
     o_w_np = pad_axis0(np.ones(n_obs), n_obs_pad)
     o_point = pad_axis0(o_point, n_obs_pad, fill=int(o_point[-1]))
     o_frame = pad_axis0(o_frame, n_obs_pad, fill=int(o_frame[-1]))
@@ -703,15 +725,6 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         for m in scene.cam_model_id])
 
     fast_path = ba_fast_path_ok(scene) and not opts.optimize_rig_poses
-    if mesh is not None:
-        # pallas_call is opaque to SPMD partitioning: XLA-only kernels
-        fast_path = False
-        point_width = frame_width = 0
-        from glomap_tpu.parallel.mesh import replicate, shard_obs
-        _sh = lambda a: shard_obs(mesh, a)
-        _rep = lambda a: replicate(mesh, a)
-    else:
-        _sh = _rep = lambda a: a
 
     # sensor-pose optimization (reference optimize_rig_poses): only
     # non-reference sensors move
@@ -721,27 +734,27 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         sensor_mask[~scene.sensor_is_ref, :] = 1.0
 
     fq, ft, cp, X, cost, it, sq, st = _solve_ba(
-        _rep(jnp.asarray(scene.frame_quat, dtype=dtype)),
-        _rep(jnp.asarray(scene.frame_trans, dtype=dtype)),
-        _rep(jnp.asarray(scene.cam_params, dtype=dtype)),
-        _rep(jnp.asarray(points_np, dtype=dtype)),
-        _sh(jnp.asarray(o_frame)), _sh(jnp.asarray(o_cam)),
-        _sh(jnp.asarray(o_point)),
-        _sh(jnp.asarray(o_sq, dtype=dtype)),
-        _sh(jnp.asarray(o_st, dtype=dtype)),
-        _sh(jnp.asarray(o_kind_np)),
-        _sh(jnp.asarray(o_uv_np, dtype=dtype)),
-        _rep(jnp.asarray(cam_T, dtype=dtype)),
-        _sh(jnp.asarray(o_w_np, dtype=dtype)),
-        _rep(jnp.asarray(frame_mask, dtype=dtype)),
+        jnp.asarray(scene.frame_quat, dtype=dtype),
+        jnp.asarray(scene.frame_trans, dtype=dtype),
+        jnp.asarray(scene.cam_params, dtype=dtype),
+        jnp.asarray(points_np, dtype=dtype),
+        jnp.asarray(o_frame), jnp.asarray(o_cam),
+        jnp.asarray(o_point),
+        jnp.asarray(o_sq, dtype=dtype),
+        jnp.asarray(o_st, dtype=dtype),
+        jnp.asarray(o_kind_np),
+        jnp.asarray(o_uv_np, dtype=dtype),
+        jnp.asarray(cam_T, dtype=dtype),
+        jnp.asarray(o_w_np, dtype=dtype),
+        jnp.asarray(frame_mask, dtype=dtype),
         scene.num_frames, scene.num_cameras, num_points_pad,
         float(opts.thres_loss_function), float(opts.function_tolerance),
         int(opts.max_num_iterations), 30, bool(opts.optimize_points),
         fast_path=fast_path,
-        o_sensor=_sh(jnp.asarray(o_sensor)),
-        sensor_quat=_rep(jnp.asarray(scene.sensor_quat, dtype=dtype)),
-        sensor_trans=_rep(jnp.asarray(scene.sensor_trans, dtype=dtype)),
-        sensor_mask=_rep(jnp.asarray(sensor_mask, dtype=dtype)),
+        o_sensor=jnp.asarray(o_sensor),
+        sensor_quat=jnp.asarray(scene.sensor_quat, dtype=dtype),
+        sensor_trans=jnp.asarray(scene.sensor_trans, dtype=dtype),
+        sensor_mask=jnp.asarray(sensor_mask, dtype=dtype),
         num_sensors=num_sensors,
         optimize_rig=bool(opts.optimize_rig_poses),
         point_width=point_width, frame_width=frame_width)

@@ -69,7 +69,7 @@ def _blocks_from_moments(m, eye3):
 
 
 @partial(jax.jit, static_argnames=("num_frames", "num_points", "max_iters",
-                                   "cg_iters", "point_width"))
+                                   "cg_iters", "point_width", "mesh_axis"))
 def _solve_gp(c0, X0,
               # point-to-camera observations; per-obs data is LANE-MAJOR
               # (rows, O) — (O, 3) arrays tile-pad ~42x on TPU
@@ -78,7 +78,13 @@ def _solve_gp(c0, X0,
               cc_i, cc_j, t_ccT, cc_w,
               num_frames: int, num_points: int,
               huber_delta: float, function_tol: float,
-              max_iters: int, cg_iters: int, point_width: int = 0):
+              max_iters: int, cg_iters: int, point_width: int = 0,
+              # partition-aware SPMD (parallel/partitioned_gp): inside
+              # shard_map, obs+points are sharded by part, frame centers
+              # replicated; frame-axis reductions psum over this axis,
+              # point-axis reductions stay local (obs co-located with
+              # their point's shard)
+              mesh_axis: str | None = None):
     """LM with exact scale projection + point Schur elimination.
 
     Lane-major re-design (same treatment that took BA from 8.5 to >100
@@ -99,14 +105,17 @@ def _solve_gp(c0, X0,
 
     from glomap_tpu.ops.segment_ops import make_axis_ops
     reduce_f, gather_f = make_axis_ops(obs_frame, num_frames, num_obs,
-                                       dtype)
+                                       dtype, psum_axis=mesh_axis)
     reduce_p, gather_p = make_axis_ops(obs_point, num_points, num_obs,
                                        dtype, sorted_width=point_width)
     if num_cc:
         reduce_ci, gather_ci = make_axis_ops(cc_i, num_frames, num_cc,
-                                             dtype)
+                                             dtype, psum_axis=mesh_axis)
         reduce_cj, gather_cj = make_axis_ops(cc_j, num_frames, num_cc,
-                                             dtype)
+                                             dtype, psum_axis=mesh_axis)
+
+    def psum_scalar(x):
+        return jax.lax.psum(x, mesh_axis) if mesh_axis is not None else x
 
     def rows_obs(c, X):
         """Per-obs direction/scale/residual rows from parameters."""
@@ -131,7 +140,7 @@ def _solve_gp(c0, X0,
             _, _, sc, rcT = rows_cc(c)
             cost = cost + jnp.sum(cc_w * _huber_cost(
                 jnp.sum(rcT * rcT, 0), huber_delta))
-        return cost
+        return psum_scalar(cost)
 
     def moments(a, hT):
         """(7, O) rows for the block assembly."""
@@ -272,6 +281,87 @@ def _sensor_gn(c, X, of, op, tT, uT, ow, q_f_o, unk_o, o_sens,
     return cs, u_rig.T
 
 
+def _solve_partitioned_flow(scene, tracks, mesh, opts, dtype, num_frames,
+                            num_points_pad, o_frame, o_point_np, obs_w,
+                            t_obs_np, u_rig_np, cc_i, cc_j, t_cc_np, cc_w,
+                            c0, X0, n_obs, use_points, track_ok,
+                            unknown_obs, o_sensor, q_frame_o) -> bool:
+    """Distributed GP flow over a partitioned mesh: same anneal / grid /
+    unknown-rig alternation as the single-chip path, with every _solve_gp
+    replaced by the shard_map runner (parallel/partitioned_gp)."""
+    from glomap_tpu.parallel.partitioned_gp import PartitionedGP
+    runner = PartitionedGP(scene, tracks, mesh, o_frame, o_point_np,
+                           obs_w, t_obs_np, cc_i, cc_j, t_cc_np, cc_w,
+                           num_frames, dtype=dtype)
+    hub = float(opts.thres_loss_function)
+    ftol = float(opts.function_tolerance)
+    iters = int(opts.max_num_iterations)
+
+    has_rig_offsets = bool(np.any(np.abs(u_rig_np) > 0))
+    if has_rig_offsets:
+        c1, X1, _, _ = runner.solve(c0, X0, np.zeros_like(u_rig_np), hub,
+                                    ftol, iters)
+        d_base = X1[o_point_np] - c1[o_frame]
+        w_np = np.asarray(obs_w, np.float64)
+
+        def cost_at_scale(sg):
+            d = sg * d_base + u_rig_np
+            dn2 = np.maximum(np.sum(d * d, -1), 1e-12)
+            s = np.maximum(np.sum(t_obs_np * d, -1) / dn2, 1e-5)
+            r = t_obs_np - s[:, None] * d
+            r2 = np.sum(r * r, -1)
+            return float(np.sum(w_np * np.where(
+                r2 <= hub * hub, r2,
+                2.0 * hub * np.sqrt(np.maximum(r2, 1e-30)) - hub * hub)))
+
+        grid = np.exp(np.linspace(np.log(1e-3), np.log(1e3), 121))
+        costs = np.asarray([cost_at_scale(sg) for sg in grid])
+        sg = float(grid[int(np.argmin(costs))])
+        c2, X2, _, _ = runner.solve(sg * c1, sg * X1, u_rig_np, 1e3, ftol,
+                                    iters)
+        c, X, cost, it = runner.solve(c2, X2, u_rig_np, hub, ftol, iters)
+    else:
+        c, X, cost, it = runner.solve(c0, X0, u_rig_np, hub, ftol, iters)
+
+    # unknown cam_from_rig: local (unsharded) sensor GN + re-solve rounds
+    has_unknown = use_points and n_obs > 0 and \
+        bool((~scene.sensor_known).any()) and bool(unknown_obs.any())
+    if has_unknown:
+        num_sensors = len(scene.sensor_quat)
+        of = jnp.asarray(o_frame)
+        op = jnp.asarray(o_point_np)
+        tT = jnp.asarray(np.ascontiguousarray(t_obs_np.T), dtype=dtype)
+        uT = jnp.asarray(np.ascontiguousarray(u_rig_np.T), dtype=dtype)
+        ow = jnp.asarray(obs_w, dtype=dtype)
+        q_f_o = jnp.asarray(q_frame_o, dtype=dtype)
+        unk_o = jnp.asarray(unknown_obs)
+        o_sens = jnp.asarray(o_sensor.astype(np.int32))
+        cs = jnp.zeros((num_sensors, 3), dtype=dtype)
+        for _ in range(3):
+            cs, uT = _sensor_gn(jnp.asarray(c, dtype=dtype),
+                                jnp.asarray(X, dtype=dtype), of, op, tT,
+                                uT, ow, q_f_o, unk_o, o_sens, cs,
+                                num_sensors, hub)
+            c, X, cost, it = runner.solve(c, X, np.asarray(uT).T, hub,
+                                          ftol, iters)
+        cs_np = np.asarray(cs, dtype=np.float64)
+        unk_sensors = np.nonzero(~scene.sensor_known)[0]
+        t_s = -rotm.quat_rotate(scene.sensor_quat[unk_sensors],
+                                cs_np[unk_sensors])
+        scene.sensor_trans[unk_sensors] = t_s
+        scene.sensor_known[unk_sensors] = True
+
+    if not (np.all(np.isfinite(c)) and np.all(np.isfinite(X))):
+        return False
+    if opts.optimize_positions:
+        scene.frame_trans[:] = -rotm.quat_rotate(scene.frame_quat, c)
+    if opts.optimize_points and tracks.num_tracks:
+        tracks.xyz[:] = X[:tracks.num_tracks]
+        if use_points:
+            tracks.valid &= track_ok
+    return True
+
+
 def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
                              opts: GlobalPositionerOptions | None = None,
                              dtype=None, mesh=None) -> bool:
@@ -398,25 +488,28 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
     num_points_pad = bucket_size(num_points, 64)
     X0 = pad_axis0(np.asarray(X0), num_points_pad)
 
-    # sorted-point-axis Pallas window (0 = one-hot/fallback path; also 0
-    # under a mesh — pallas_call is opaque to the SPMD partitioner)
+    # sorted-point-axis Pallas window (0 = one-hot/fallback path)
     from glomap_tpu.ops.segment_ops import axis_window
-    point_width = axis_window(o_point_np) if mesh is None else 0
+    point_width = axis_window(o_point_np)
+
+    if mesh is not None:
+        # partition-aware distributed path (parallel/partitioned_gp):
+        # points + observations sharded by graph part, frame system
+        # psum'd; mirrors the annealing/rig flow below on host arrays
+        return _solve_partitioned_flow(
+            scene, tracks, mesh, opts, dtype, num_frames, num_points_pad,
+            o_frame, o_point_np, obs_w, t_obs_np, u_rig_np, cc_i, cc_j,
+            t_cc_np, cc_w, np.asarray(c0, np.float64),
+            np.asarray(X0, np.float64), n_obs, use_points, track_ok,
+            unknown_obs if n_obs else None,
+            o_sensor if n_obs else None,
+            q_frame_o if n_obs else None)
 
     args_static = (num_frames, num_points_pad,
                    float(opts.thres_loss_function),
                    float(opts.function_tolerance),
                    int(opts.max_num_iterations), 100, point_width)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from glomap_tpu.parallel.mesh import replicate, shard_obs
-        _sh = lambda a: shard_obs(mesh, a)
-        # lane-major (k, O) rows: obs axis is axis 1
-        _shT = lambda a: jax.device_put(a, NamedSharding(mesh,
-                                                         P(None, "obs")))
-        _rep = lambda a: replicate(mesh, a)
-    else:
-        _sh = _shT = _rep = lambda a: a
+    _sh = _shT = _rep = lambda a: a
     of = _sh(jnp.asarray(o_frame))
     op = _sh(jnp.asarray(o_point_np))
     ow = _sh(jnp.asarray(obs_w, dtype=dtype))

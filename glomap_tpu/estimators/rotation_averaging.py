@@ -244,32 +244,63 @@ def _init_from_mst(num_frames, fi, fj, q_rel, weights):
 
     Counterpart of InitializeFromMaximumSpanningTree
     (global_rotation_averaging.cc:87), with inlier counts as weights.
+
+    Fully vectorized (city-scale edge counts): the best edge per frame
+    pair comes from one lexsort, and the root-to-node composition runs by
+    pointer doubling — O(F log depth) batched quaternion products instead
+    of an O(F) sequential Python walk.
     """
     parent, order, root = treem.maximum_spanning_tree(
         num_frames, fi, fj, weights)
-    # edge lookup keyed (min, max) keeping the max-weight edge
-    best = {}
-    for k in range(len(fi)):
-        key = (min(fi[k], fj[k]), max(fi[k], fj[k]))
-        if key not in best or weights[k] > weights[best[key]]:
-            best[key] = k
-    quats = np.zeros((num_frames, 4))
-    quats[:, 0] = 1.0
+    fi = np.asarray(fi, dtype=np.int64)
+    fj = np.asarray(fj, dtype=np.int64)
     q_rel_np = np.asarray(q_rel)
-    for v in order:
-        u = parent[v]
-        if u < 0:
-            continue
-        k = best.get((min(u, v), max(u, v)))
-        if k is None:
-            continue
-        if fi[k] == u and fj[k] == v:
-            # R_v = R_rel R_u
-            quats[v] = rotm.quat_mul(q_rel_np[k], quats[u])
-        else:
-            # R_u = R_rel R_v  =>  R_v = R_rel^-1 R_u
-            quats[v] = rotm.quat_mul(rotm.quat_conj(q_rel_np[k]), quats[u])
-    return quats, root
+
+    # best (max-weight) edge per unordered frame pair, via lexsort
+    lo = np.minimum(fi, fj)
+    hi = np.maximum(fi, fj)
+    key = lo * num_frames + hi
+    srt = np.lexsort((weights, key))
+    keys_sorted = key[srt]
+    is_last = np.ones(len(srt), dtype=bool)
+    if len(srt) > 1:
+        is_last[:-1] = keys_sorted[1:] != keys_sorted[:-1]
+    uniq_keys = keys_sorted[is_last]
+    uniq_k = srt[is_last]
+
+    # per-node edge rotation: R_v = q_edge[v] (x) R_parent[v]
+    q_edge = np.zeros((num_frames, 4))
+    q_edge[:, 0] = 1.0
+    has_par = parent >= 0
+    v_all = np.nonzero(has_par)[0]
+    u_all = parent[v_all]
+    tkey = np.minimum(u_all, v_all) * num_frames + np.maximum(u_all, v_all)
+    pos = np.searchsorted(uniq_keys, tkey)
+    pos = np.clip(pos, 0, max(len(uniq_keys) - 1, 0))
+    hit = uniq_keys[pos] == tkey if len(uniq_keys) else \
+        np.zeros(len(tkey), dtype=bool)
+    k = uniq_k[pos[hit]]
+    v_hit = v_all[hit]
+    u_hit = u_all[hit]
+    forward = fi[k] == u_hit  # R_v = R_rel R_u
+    qk = q_rel_np[k].copy()
+    qk[~forward] = rotm.quat_conj(qk[~forward])  # R_v = R_rel^-1 R_u
+    q_edge[v_hit] = qk
+
+    # pointer doubling: R_v = q_acc[v] (x) R_jump[v]; roots self-loop
+    jump = parent.copy()
+    is_root = parent < 0
+    jump[is_root] = np.nonzero(is_root)[0]
+    q_acc = q_edge.copy()
+    q_acc[is_root, :] = 0.0
+    q_acc[is_root, 0] = 1.0
+    while True:
+        nxt = jump[jump]
+        if np.array_equal(nxt, jump):
+            break
+        q_acc = np.asarray(rotm.quat_mul(q_acc, q_acc[jump]))
+        jump = nxt
+    return q_acc, root
 
 
 def build_frame_edges(scene, view_graph, pair_mask=None):

@@ -33,12 +33,31 @@ def axis_window(ids_padded: np.ndarray, cap: int = 4096) -> int:
 
 
 def make_axis_ops(idx, n_seg: int, num_obs: int, dtype,
-                  sorted_width: int = 0, one_hot_budget: int = 1 << 28):
+                  sorted_width: int = 0, one_hot_budget: int = 1 << 28,
+                  psum_axis: str | None = None):
     """-> (reduce: (k, O) -> (n_seg, k), gather: (n_seg, k) -> (k, O)).
 
     idx: (O,) int32 segment ids (a traced array); n_seg/num_obs/widths
     static. Call inside jit.
+
+    psum_axis: when running inside shard_map with the obs axis sharded
+    and the segment table replicated, reductions return local partials —
+    name the mesh axis here and every reduce is followed by one
+    jax.lax.psum over it (the distributed Schur/camera-system assembly,
+    SURVEY.md §2.3). Gathers from replicated tables stay collective-free.
     """
+    reduce, gather = _make_axis_ops_local(idx, n_seg, num_obs, dtype,
+                                          sorted_width, one_hot_budget)
+    if psum_axis is not None:
+        reduce_local = reduce
+
+        def reduce(vals):
+            return jax.lax.psum(reduce_local(vals), psum_axis)
+    return reduce, gather
+
+
+def _make_axis_ops_local(idx, n_seg, num_obs, dtype, sorted_width,
+                         one_hot_budget):
     if sorted_width:
         from glomap_tpu.ops.pallas_kernels import (
             _on_tpu, sorted_segment_gather, sorted_segment_rowsum)

@@ -41,10 +41,14 @@ def pad_to_multiple(arrays: dict, n: int, pad_value=0):
     return out
 
 
-def shard_obs(mesh: Mesh, arr, axis: str = "obs"):
-    """Place an observation-axis array with a sharded leading dim."""
-    return jax.device_put(arr, NamedSharding(mesh, P(axis)))
+def shard_obs(mesh: Mesh, arr, axis: str | None = None):
+    """Place an observation-axis array with a sharded leading dim
+    (multi-process safe: each host uploads only its shards). The shard
+    axis defaults to the mesh's own first axis name."""
+    from glomap_tpu.parallel.multihost import put_global
+    return put_global(np.asarray(arr), mesh, P(axis or mesh.axis_names[0]))
 
 
 def replicate(mesh: Mesh, arr):
-    return jax.device_put(arr, NamedSharding(mesh, P()))
+    from glomap_tpu.parallel.multihost import put_global
+    return put_global(np.asarray(arr), mesh, P())

@@ -59,7 +59,12 @@ def _fiedler_split(nodes, ei, ej, w):
         fiedler = np.arange(n, dtype=np.float64)
     else:
         try:
-            vals, vecs = eigsh(L, k=2, which="SM", maxiter=5000)
+            # deterministic start vector: eigsh otherwise seeds from the
+            # global RNG and different processes would compute DIFFERENT
+            # partitions of the same graph (multi-host runs upload only
+            # their local shards, so all hosts must agree bit-for-bit)
+            v0 = np.random.default_rng(12345).standard_normal(n)
+            vals, vecs = eigsh(L, k=2, which="SM", maxiter=5000, v0=v0)
             fiedler = vecs[:, np.argsort(vals)[1]]
         except Exception:
             fiedler = np.random.default_rng(0).standard_normal(n)

@@ -59,7 +59,7 @@ def filter_tracks_by_reprojection(scene: Scene, tracks: Tracks,
         # call instead of an eager op-chain on the (possibly remote)
         # default device
         cams = scene.image_camera[tracks.obs_image]
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]
         px = np.asarray(_img_from_cam_jit(
             jax.device_put(scene.cam_params[cams], cpu),
             jax.device_put(scene.cam_kind[cams], cpu),

@@ -44,7 +44,7 @@ def undistort_images(scene: Scene, num_iters: int = 25) -> None:
     _t0 = _time.monotonic()
     counts = np.diff(scene.kp_offset)
     kp_cam = np.repeat(scene.image_camera, counts).astype(np.int32)
-    cpu = jax.devices("cpu")[0]
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         rays = _rays_from_indices(
             jax.device_put(scene.cam_params, cpu),

@@ -43,6 +43,77 @@ def test_sharded_ba_matches_single_device():
     assert c_err1.max() < 1e-3 and c_err8.max() < 1e-3
 
 
+def test_partitioned_ba_matches_single_device():
+    """The partition-aware distributed BA (points SHARDED by graph part,
+    camera system psum'd, Pallas kernels local per device) reproduces the
+    single-device solve: final costs agree to 1e-4 and the point block is
+    physically distributed (one shard per device)."""
+    import jax.numpy as jnp
+    from glomap_tpu.parallel.partitioned_ba import solve_ba_partitioned
+
+    scene, vg, tracks, gt = _prepare(
+        SyntheticOptions(num_frames_per_rig=12, num_points3D=150, seed=100,
+                         point2D_stddev=0.3),
+        pose_noise=0.01, point_noise=0.05)
+    sceneP = scene.copy()
+    tracksP = tracks.copy()
+
+    mesh1 = meshmod.make_mesh(1)
+    cost1, it1 = solve_ba_sharded(scene, tracks, mesh1, dtype=jnp.float64)
+
+    mesh8 = meshmod.make_mesh(8, axis="part")
+    (arrs, plan) = solve_ba_partitioned(sceneP, tracksP, mesh8,
+                                        dtype=jnp.float64,
+                                        return_arrays=True)
+    fq, ft, cp, X, cost8, it8 = arrs[:6]
+
+    # sharding introspection: the point block is split across all 8
+    # devices, one (Tmax, 3) shard each — not replicated
+    shards = X.addressable_shards
+    assert len({s.device for s in shards}) == 8
+    assert all(s.data.shape == (1, plan.points_per_part, 3)
+               for s in shards)
+
+    cost8 = float(cost8)
+    assert np.isfinite(cost1) and np.isfinite(cost8)
+    assert abs(cost1 - cost8) / max(cost1, 1e-12) < 1e-4
+
+    # write-back path end-to-end + accuracy oracle
+    sceneP2 = scene.copy()
+    tracksP2 = tracks.copy()
+    cost8b, _ = solve_ba_partitioned(sceneP2, tracksP2, mesh8,
+                                     dtype=jnp.float64)
+    c_err1, r_err1 = _pose_errors(scene, gt)
+    c_err8, r_err8 = _pose_errors(sceneP2, gt)
+    assert r_err8.max() < 1e-1 and c_err8.max() < 1e-2
+
+
+def test_partitioned_ba_point_locality():
+    """Every observation lands on its point's shard (the property that
+    makes point-axis reductions collective-free)."""
+    from glomap_tpu.parallel.partitioned_ba import (
+        build_partitioned_ba_inputs)
+
+    scene, vg, tracks, gt = _prepare(
+        SyntheticOptions(num_frames_per_rig=16, num_points3D=200, seed=7),
+        pose_noise=0.0, point_noise=0.0)
+    params, obs, statics, plan = build_partitioned_ba_inputs(
+        scene, tracks, 4)
+    Tmax = plan.points_per_part
+    # local point ids are within range and sorted per part
+    op = obs["o_point"]
+    ow = obs["o_w"]
+    assert op.shape[0] == 4
+    for p in range(4):
+        assert (np.diff(op[p]) >= 0).all(), "per-part obs must stay sorted"
+        assert op[p].max() < Tmax
+    # the padded window bound is finite (locality ordering worked)
+    assert statics["point_width"] > 0
+    # weighted (real) obs per part roughly balanced
+    counts = (ow > 0).sum(axis=1)
+    assert counts.min() > 0
+
+
 def test_sharded_rotation_averaging_matches_single_device():
     from glomap_tpu.parallel.sharded_ra import solve_rotations_sharded
     from glomap_tpu.estimators.rotation_averaging import estimate_rotations
