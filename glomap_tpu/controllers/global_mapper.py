@@ -210,15 +210,23 @@ class GlobalMapper:
             for _ in range(opt.num_iteration_retriangulation):
                 tracks = retriangulate_tracks(scene, view_graph, tracks,
                                               opt.opt_triangulator)
-                if not solve_bundle_adjustment(scene, tracks, opt.opt_ba,
-                                               mesh=mesh):
-                    return None
-                tf.filter_tracks_by_reprojection(
-                    scene, tracks,
-                    opt.inlier_thresholds.max_reprojection_error)
-                if not solve_bundle_adjustment(scene, tracks, opt.opt_ba,
-                                               mesh=mesh):
-                    return None
+                # refinement rounds (colmap ba_global_max_refinements
+                # loop inside track_retriangulation.cc:99-122): BA, then
+                # complete masked observations against the refined
+                # geometry, then filter; stop when <0.05% changed
+                for _ref in range(5):
+                    if not solve_bundle_adjustment(scene, tracks,
+                                                   opt.opt_ba, mesh=mesh):
+                        return None
+                    num_obs = max(int(tracks.obs_valid.sum()), 1)
+                    changed = tf.complete_tracks(
+                        scene, tracks,
+                        opt.opt_triangulator.tri_complete_max_reproj_error)
+                    changed += tf.filter_tracks_by_reprojection(
+                        scene, tracks,
+                        opt.inlier_thresholds.max_reprojection_error)
+                    if changed < 5e-4 * num_obs:
+                        break
             normalize_reconstruction(scene, tracks)
             tf.filter_tracks_by_reprojection(
                 scene, tracks, opt.inlier_thresholds.max_reprojection_error)

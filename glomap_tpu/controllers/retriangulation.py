@@ -67,6 +67,12 @@ def retriangulate_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
     ok = triangulate_tracks(scene, new_tracks)
     new_tracks.valid &= ok
 
+    # completion: re-attach masked observations that the freshly
+    # triangulated geometry explains within the loose threshold
+    # (colmap CompleteAndMergeTracks, track_retriangulation.cc:80)
+    tf.complete_tracks(scene, new_tracks,
+                       opts.tri_complete_max_reproj_error)
+
     out = new_tracks.compact()
     logger.info("Retriangulation: %d tracks (%d observations)",
                 out.num_tracks, out.num_obs)

@@ -163,6 +163,9 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
               # see order_obs_for_locality
               point_width: int = 0, frame_width: int = 0,
               one_hot_budget: int = 1 << 28,
+              # per-camera kind (C,) int for the all-kind fast path
+              # (perspective/fisheye/FOV); None = all perspective
+              cam_kind=None,
               # partition-aware SPMD (parallel/partitioned_ba): when set,
               # the solver runs INSIDE shard_map with observations AND
               # points sharded by graph part and frame/camera parameter
@@ -255,6 +258,9 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
     # gathered on the TRAILING axis — a direct (O, 3, 3) rotmat gather
     # tile-pads ~113x and re-introduces the HBM ceiling the row layout
     # removes. o_fs indexes the (F*S, .) tables.
+    if cam_kind is None:
+        cam_kind = jnp.zeros((num_cams,), jnp.int32)
+    kind_col = cam_kind.reshape(num_cams, 1)
     use_tables = fast_path and (o_sensor is not None)
     if use_tables:
         n_sens_t = max(num_sensors, 1)
@@ -265,8 +271,9 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         uvT_const = o_uv.T  # (2, O), constant
 
     def _persp_rows(fq, ft, sq, st, cp, X):
-        """(M9 (9,O), S9 (9,O), b3 (3,O), X3 (3,O), uvT (2,O), k15 (15,O))
-        via per-(frame, sensor) tables expanded with one-hot matmuls."""
+        """(M9 (9,O), S9 (9,O), b3 (3,O), X3 (3,O), uvT (2,O), k16 (16,O),
+        kind1 (1,O)) via per-(frame, sensor) tables expanded with one-hot
+        matmuls."""
         from glomap_tpu.math import rotation as rotm
         Rf = rotm.quat_to_rotmat(fq)  # (F, 3, 3)
         Rs = rotm.quat_to_rotmat(sq)  # (S, 3, 3)
@@ -279,31 +286,52 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
                                b_fs.reshape(-1, 3)], axis=1)
         rows = gather_fs(tab)  # (21, O)
         X3 = gather_p(X)
-        k15 = gather_c(cp[:, 0:15])
-        return rows[0:9], rows[9:18], rows[18:21], X3, uvT_const, k15
+        # intrinsics + kind ride ONE per-camera table gather (17 columns)
+        cam_tab = jnp.concatenate(
+            [cp, kind_col.astype(cp.dtype)], axis=1)  # (C, 17)
+        krows = gather_c(cam_tab)
+        return (rows[0:9], rows[9:18], rows[18:21], X3, uvT_const,
+                krows[0:16], krows[16:17])
 
-    def _persp_resid_rows(M9, S9, b3, X3, uvT, k15):
-        """Residual only (2, O), lane-major (cost evaluations)."""
+    def _persp_resid_rows(M9, S9, b3, X3, uvT, k16, kind1):
+        """Residual only (2, O), lane-major, all kinds (cost evals)."""
         p0 = M9[0] * X3[0] + M9[1] * X3[1] + M9[2] * X3[2] + b3[0]
         p1 = M9[3] * X3[0] + M9[4] * X3[1] + M9[5] * X3[2] + b3[1]
         p2 = M9[6] * X3[0] + M9[7] * X3[1] + M9[8] * X3[2] + b3[2]
         z = jnp.where(jnp.abs(p2) < 1e-9, 1e-9, p2)
         x = p0 / z
         y = p1 / z
-        r2 = x * x + y * y
+        kind = kind1[0]
+        # kind base map (mirrors ops/pallas_kernels._projection_kernel)
+        rr2 = x * x + y * y
+        rr = jnp.sqrt(jnp.maximum(rr2, 1e-18))
+        small_r = rr < 1e-6
+        a_fe = jnp.where(small_r, 1.0 - rr2 / 3.0, jnp.arctan(rr) / rr)
+        omega = k16[15]
+        w_ok = jnp.abs(omega) > 1e-6
+        w_safe = jnp.where(w_ok, omega, 1e-6)
+        tanh_ = jnp.tan(0.5 * w_safe)
+        a_fov_raw = jnp.where(small_r, 2.0 * tanh_ / w_safe,
+                              jnp.arctan(2.0 * rr * tanh_) / (w_safe * rr))
+        a_fov = jnp.where(w_ok, a_fov_raw, 1.0)
+        a = jnp.where(kind == 1.0, a_fe,
+                      jnp.where(kind == 2.0, a_fov, 1.0))
+        u = x * a
+        v = y * a
+        r2 = u * u + v * v
         r4 = r2 * r2
         r6 = r4 * r2
-        num = 1.0 + k15[4] * r2 + k15[5] * r4 + k15[6] * r6 \
-            + k15[7] * r4 * r4
-        den = 1.0 + k15[8] * r2 + k15[9] * r4 + k15[10] * r6
+        num = 1.0 + k16[4] * r2 + k16[5] * r4 + k16[6] * r6 \
+            + k16[7] * r4 * r4
+        den = 1.0 + k16[8] * r2 + k16[9] * r4 + k16[10] * r6
         radial = num / den
-        xy2 = 2.0 * x * y
-        du = x * radial + k15[11] * xy2 + k15[12] * (r2 + 2.0 * x * x) \
-            + k15[13] * r2
-        dv = y * radial + k15[12] * xy2 + k15[11] * (r2 + 2.0 * y * y) \
-            + k15[14] * r2
-        return jnp.stack([k15[0] * du + k15[2] - uvT[0],
-                          k15[1] * dv + k15[3] - uvT[1]])
+        xy2 = 2.0 * u * v
+        du = u * radial + k16[11] * xy2 + k16[12] * (r2 + 2.0 * u * u) \
+            + k16[13] * r2
+        dv = v * radial + k16[12] * xy2 + k16[11] * (r2 + 2.0 * v * v) \
+            + k16[14] * r2
+        return jnp.stack([k16[0] * du + k16[2] - uvT[0],
+                          k16[1] * dv + k16[3] - uvT[1]])
 
     def compute_cost(fq, ft, cp, X, sq=None, st=None):
         if use_tables:
@@ -326,10 +354,10 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
     def lm_step(state):
         fq, ft, cp, X, sq, st, lam, cost, it, done, _ = state
         if fast_path and use_tables:
-            # Pallas fused closed-form kernel (valid premise checked by
-            # the caller: every camera perspective) — emits lane-major
-            # (2, O) / (50, O) natively
-            from glomap_tpu.ops.pallas_kernels import (perspective_resid_jac,
+            # Pallas fused closed-form kernel over ALL camera kinds
+            # (perspective / fisheye / FOV) — emits lane-major (2, O) /
+            # (50, O) natively
+            from glomap_tpu.ops.pallas_kernels import (projection_resid_jac,
                                                        _on_tpu, LANES)
             s_q = sq if optimize_rig else sensor_quat
             s_t = st if optimize_rig else sensor_trans
@@ -339,19 +367,20 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
             def padded(a):
                 return jnp.pad(a, ((0, 0), (0, pad))) if pad else a
 
-            rT, JT = perspective_resid_jac(
+            rT, JT = projection_resid_jac(
                 *[padded(a) for a in rows], interpret=not _on_tpu())
             rT = rT[:, :num_obs]
             JT = JT[:, :num_obs]
         elif fast_path:
             # no sensor index table available (legacy callers): per-obs
             # gathers via the wrapper
-            from glomap_tpu.ops.pallas_kernels import (ba_resid_jac_pinhole,
+            from glomap_tpu.ops.pallas_kernels import (ba_resid_jac_gathered,
                                                        _on_tpu)
             qs_o, ts_o = gather_sensor(sq, st)
-            r, J = ba_resid_jac_pinhole(
+            r, J = ba_resid_jac_gathered(
                 fq[o_frame], ft[o_frame], qs_o, ts_o,
-                cp[o_cam], X[o_point], o_uv, interpret=not _on_tpu())
+                cp[o_cam], o_kind, X[o_point], o_uv,
+                interpret=not _on_tpu())
             rT = r.T
             JT = J.reshape(num_obs, 50).T
         else:
@@ -626,10 +655,10 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
 
 
 def ba_fast_path_ok(scene: Scene) -> bool:
-    """The Pallas closed-form kernel premise: every camera is a
-    perspective model (kind 0 — any polynomial distortion: PINHOLE,
-    SIMPLE_RADIAL/RADIAL, OPENCV, FULL_OPENCV, thin-prism)."""
-    return bool(np.all(scene.cam_kind == 0))
+    """The Pallas closed-form kernel covers every canonical camera kind
+    (0 perspective, 1 fisheye/equidistant, 2 FOV) with exact Jacobians —
+    i.e. all 11+ COLMAP models after canonicalization."""
+    return bool(np.all(np.isin(scene.cam_kind, (0, 1, 2))))
 
 
 def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
@@ -757,7 +786,8 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         sensor_mask=jnp.asarray(sensor_mask, dtype=dtype),
         num_sensors=num_sensors,
         optimize_rig=bool(opts.optimize_rig_poses),
-        point_width=point_width, frame_width=frame_width)
+        point_width=point_width, frame_width=frame_width,
+        cam_kind=jnp.asarray(scene.cam_kind.astype(np.int32)))
 
     fq = np.asarray(fq, dtype=np.float64)
     ft = np.asarray(ft, dtype=np.float64)

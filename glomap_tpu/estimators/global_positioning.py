@@ -422,7 +422,10 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
     # ---- camera-to-camera constraints ----
     use_cams = opts.constraint_type != "ONLY_POINTS"
     if use_cams and vg.num_pairs:
-        pv = vg.pair_valid
+        from glomap_tpu.scene.view_graph import CONFIG_PANORAMIC
+        # pure-rotation pairs carry no translation direction: their t is
+        # zeroed by decompose_rel_pose -> excluded from cc constraints
+        pv = vg.pair_valid & (vg.pair_config != CONFIG_PANORAMIC)
         im_i, im_j = vg.pair_i[pv], vg.pair_j[pv]
         cc_i = scene.image_frame[im_i]
         cc_j = scene.image_frame[im_j]

@@ -44,14 +44,19 @@ def _cdiv(a, b):
 
 
 # ----------------------------------------------------------------------------
-# fused perspective residual + Jacobian blocks (full polynomial distortion)
+# fused projection residual + Jacobian blocks (ALL camera kinds)
 # ----------------------------------------------------------------------------
-# Covers every kind == 0 (perspective) camera: rational radial
-# (1 + k1 r2 + k2 r4 + k3 r6 + k4 r8) / (1 + d1 r2 + d2 r4 + d3 r6),
-# tangential p1/p2 and thin-prism sx1/sy1 — i.e. the SIMPLE_PINHOLE,
-# PINHOLE, SIMPLE_RADIAL, RADIAL, OPENCV, FULL_OPENCV and
-# THIN_PRISM_FISHEYE-style polynomial stages in ops/camera_models.distort,
-# with exact closed-form Jacobians (matches the autodiff path to ~1e-7).
+# Covers every canonical camera (ops/camera_models.img_from_cam):
+#   kind 0 perspective: (u, v) = (x, y)
+#   kind 1 fisheye:     (u, v) = (x, y) * atan(r)/r   (equidistant base)
+#   kind 2 FOV:         (u, v) = (x, y) * atan(2 r tan(w/2)) / (w r)
+# followed by the shared polynomial distortion stage — rational radial
+# (1 + k1 s2 + k2 s4 + k3 s6 + k4 s8)/(1 + d1 s2 + d2 s4 + d3 s6) with
+# s2 = u^2 + v^2, tangential p1/p2, thin-prism sx1/sy1 — i.e. all 11
+# COLMAP models (SIMPLE_PINHOLE..THIN_PRISM_FISHEYE + 1D_RADIAL's
+# canonicalization), with exact closed-form Jacobians (matches the
+# autodiff path to ~1e-6). The kind branch is three cheap VPU formulas
+# + selects, so mixed perspective/fisheye scenes fuse into ONE sweep.
 #
 # inputs (transposed, component-rows x observation-lanes):
 #   Mrow (9, O): M = R_s R_f           (world -> camera rotation)
@@ -59,21 +64,80 @@ def _cdiv(a, b):
 #   brow (3, O): b = R_s t_f + t_s     (translation part)
 #   Xrow (3, O): point
 #   uvrow (2, O): observed pixel
-#   krow (15, O): canonical slots 0..14
-#                 [fx fy cx cy k1..k4 d1..d3 p1 p2 sx1 sy1]
+#   krow (16, O): canonical slots 0..15
+#                 [fx fy cx cy k1..k4 d1..d3 p1 p2 sx1 sy1 omega]
+#   baserow (3, O): kind base-map chain scalars [a, kq, da_dw] from
+#                 projection_base_rows — computed OUTSIDE the kernel in
+#                 XLA because Mosaic has no atan/tan lowering; they fuse
+#                 into the surrounding gather chain for free.
 # outputs:
 #   r (2, O), J (50, O) = flattened (2, 25) per obs with column order
 #   [w(3), dt(3), dX(3), intr(16)] matching estimators/bundle_adjustment.
 
 
-def _perspective_kernel(M_ref, S_ref, b_ref, X_ref, uv_ref, k_ref,
-                        r_ref, J_ref):
+def projection_base_rows(x, y, omega, kind):
+    """Kind base-map chain scalars, XLA-side (exact atan/tan):
+      a(r):    (u, v) = a * (x, y)
+      kq:      a'(r)/r, so G2 = d(u,v)/d(x,y) = a I + kq (x,y)(x,y)^T
+      da_dw:   d a / d omega (FOV only; zero otherwise)
+    x, y, omega, kind: broadcast-compatible arrays -> (3, ...) stack."""
+    is_fe = kind == 1.0
+    is_fov = kind == 2.0
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    rr2 = x * x + y * y
+    rr = jnp.sqrt(jnp.maximum(rr2, 1e-18))
+    small_r = rr < 1e-6
+    rr2s = jnp.maximum(rr2, 1e-18)
+    # fisheye: a = atan(r)/r; a'(r) = (1/(1+r^2) - a)/r
+    th = jnp.arctan(rr)
+    a_fe = jnp.where(small_r, 1.0 - rr2 / 3.0, th / rr)
+    kq_fe = jnp.where(small_r, -2.0 / 3.0,
+                      (1.0 / (1.0 + rr2) - a_fe) / rr2s)
+    # FOV: a = atan(2 r t)/(w r), t = tan(w/2); small-omega -> identity
+    w_ok = jnp.abs(omega) > 1e-6
+    w_safe = jnp.where(w_ok, omega, 1e-6)
+    tanh_ = jnp.tan(0.5 * w_safe)
+    q = 2.0 * rr * tanh_
+    atq = jnp.arctan(q)
+    iden_q = 1.0 / (1.0 + q * q)
+    a_fov_raw = jnp.where(small_r, 2.0 * tanh_ / w_safe,
+                          atq / (w_safe * rr))
+    kq_fov_raw = jnp.where(
+        small_r, -(16.0 * tanh_ ** 3) / (3.0 * w_safe),
+        (2.0 * tanh_ * iden_q / w_safe - a_fov_raw) / rr2s)
+    a_fov = jnp.where(w_ok, a_fov_raw, one)
+    kq_fov = jnp.where(w_ok, kq_fov_raw, zero)
+    sec2h = 1.0 + tanh_ * tanh_  # sec^2(w/2) = 1 + tan^2(w/2)
+    da_dw_raw = jnp.where(
+        small_r,
+        sec2h / w_safe - 2.0 * tanh_ / (w_safe * w_safe),
+        (rr * sec2h * iden_q - atq / w_safe) / (w_safe * rr))
+    da_dw = jnp.where(is_fov & w_ok, da_dw_raw, zero)
+
+    a_sel = jnp.where(is_fe, a_fe, jnp.where(is_fov, a_fov, one))
+    kq_sel = jnp.where(is_fe, kq_fe, jnp.where(is_fov, kq_fov, zero))
+    return jnp.stack([a_sel, kq_sel, da_dw])
+
+
+def xy_from_rows(M, bt, X):
+    """Perspective divide from lane-major rows: (x, y) each (O,)."""
+    p0 = M[0] * X[0] + M[1] * X[1] + M[2] * X[2] + bt[0]
+    p1c = M[3] * X[0] + M[4] * X[1] + M[5] * X[2] + bt[1]
+    p2c = M[6] * X[0] + M[7] * X[1] + M[8] * X[2] + bt[2]
+    z = jnp.where(jnp.abs(p2c) < 1e-9, 1e-9, p2c)
+    return p0 / z, p1c / z
+
+
+def _projection_kernel(M_ref, S_ref, b_ref, X_ref, uv_ref, k_ref,
+                       base_ref, r_ref, J_ref):
     M = M_ref[...]
     S = S_ref[...]
     bt = b_ref[...]
     X = X_ref[...]
     uv = uv_ref[...]
     intr = k_ref[...]
+    base = base_ref[...]
 
     X0, X1, X2 = X[0], X[1], X[2]
     # p = M X + b
@@ -91,17 +155,28 @@ def _perspective_kernel(M_ref, S_ref, b_ref, X_ref, uv_ref, k_ref,
     x = p0 * iz
     y = p1c * iz
 
-    # distortion (ops/camera_models.distort, kind-0 base)
-    r2 = x * x + y * y
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    a_sel, kq_sel, da_dw = base[0], base[1], base[2]
+
+    u = x * a_sel
+    v = y * a_sel
+    # G2 entries
+    G2xx = a_sel + kq_sel * x * x
+    G2xy = kq_sel * x * y
+    G2yy = a_sel + kq_sel * y * y
+
+    # --- polynomial distortion on (u, v) (ops/camera_models.distort)
+    r2 = u * u + v * v
     r4 = r2 * r2
     r6 = r4 * r2
     num = 1.0 + k1 * r2 + k2 * r4 + k3 * r6 + k4 * r4 * r4
     den = 1.0 + d1 * r2 + d2 * r4 + d3 * r6
     iden = 1.0 / den
     radial = num * iden
-    xy2 = 2.0 * x * y
-    du = x * radial + tp1 * xy2 + tp2 * (r2 + 2.0 * x * x) + sx1 * r2
-    dv = y * radial + tp2 * xy2 + tp1 * (r2 + 2.0 * y * y) + sy1 * r2
+    xy2 = 2.0 * u * v
+    du = u * radial + tp1 * xy2 + tp2 * (r2 + 2.0 * u * u) + sx1 * r2
+    dv = v * radial + tp2 * xy2 + tp1 * (r2 + 2.0 * v * v) + sy1 * r2
 
     r_ref[0, :] = fx * du + cx - uv[0]
     r_ref[1, :] = fy * dv + cy - uv[1]
@@ -111,20 +186,20 @@ def _perspective_kernel(M_ref, S_ref, b_ref, X_ref, uv_ref, k_ref,
     dden = d1 + 2.0 * d2 * r2 + 3.0 * d3 * r4
     drad = (dnum - radial * dden) * iden
 
-    # D = d (du, dv) / d (x, y)  (2x2 closed form)
-    Dxx = radial + 2.0 * x * x * drad + 2.0 * tp1 * y + 6.0 * tp2 * x \
-        + 2.0 * sx1 * x
-    Dxy = 2.0 * x * y * drad + 2.0 * tp1 * x + 2.0 * tp2 * y + 2.0 * sx1 * y
-    Dyx = 2.0 * x * y * drad + 2.0 * tp2 * y + 2.0 * tp1 * x + 2.0 * sy1 * x
-    Dyy = radial + 2.0 * y * y * drad + 2.0 * tp2 * x + 6.0 * tp1 * y \
-        + 2.0 * sy1 * y
+    # D = d (du, dv) / d (u, v)  (2x2 closed form)
+    Dxx = radial + 2.0 * u * u * drad + 2.0 * tp1 * v + 6.0 * tp2 * u \
+        + 2.0 * sx1 * u
+    Dxy = 2.0 * u * v * drad + 2.0 * tp1 * u + 2.0 * tp2 * v + 2.0 * sx1 * v
+    Dyx = 2.0 * u * v * drad + 2.0 * tp2 * v + 2.0 * tp1 * u + 2.0 * sy1 * u
+    Dyy = radial + 2.0 * v * v * drad + 2.0 * tp2 * u + 6.0 * tp1 * v \
+        + 2.0 * sy1 * v
 
-    # G = diag(fx, fy) D  then chain with P = d(x, y)/dp =
+    # G = diag(fx, fy) D G2  then chain with P = d(x, y)/dp =
     # [[iz, 0, -x iz], [0, iz, -y iz]]
-    g00 = fx * Dxx
-    g01 = fx * Dxy
-    g10 = fy * Dyx
-    g11 = fy * Dyy
+    g00 = fx * (Dxx * G2xx + Dxy * G2xy)
+    g01 = fx * (Dxx * G2xy + Dxy * G2yy)
+    g10 = fy * (Dyx * G2xx + Dyy * G2xy)
+    g11 = fy * (Dyx * G2xy + Dyy * G2yy)
 
     def writeJ(col, e0, e1, e2):
         """column `col` of the (2,25) Jacobian from dp/dtheta = (e0,e1,e2)."""
@@ -151,19 +226,18 @@ def _perspective_kernel(M_ref, S_ref, b_ref, X_ref, uv_ref, k_ref,
                 M[3] * v0 + M[4] * v1 + M[5] * v2,
                 M[6] * v0 + M[7] * v1 + M[8] * v2)
 
-    zero = jnp.zeros_like(X0)
     writeJ(0, *mcol(zero, -X2, X1))
     writeJ(1, *mcol(X2, zero, -X0))
     writeJ(2, *mcol(-X1, X0, zero))
 
     # intrinsics (canonical slots s -> column 9+s):
     #   fx (0): (du, 0); fy (1): (0, dv); cx (2): (1, 0); cy (3): (0, 1);
-    #   k_s (4..7):  d radial / d k_s = r2^{s+1} / den
+    #   k_s (4..7):  d radial / d k_s = r2^{s+1} / den    (on u,v radius)
     #   d_s (8..10): d radial / d d_s = -radial r2^{s+1} / den
-    #   p1 (11): (fx 2 x y, fy (r2 + 2 y^2))
-    #   p2 (12): (fx (r2 + 2 x^2), fy 2 x y)
-    #   sx1 (13): (fx r2, 0); sy1 (14): (0, fy r2); omega (15): 0
-    one = jnp.ones_like(X0)
+    #   p1 (11): (fx 2 u v, fy (r2 + 2 v^2))
+    #   p2 (12): (fx (r2 + 2 u^2), fy 2 u v)
+    #   sx1 (13): (fx r2, 0); sy1 (14): (0, fy r2)
+    #   omega (15): FOV base-map sensitivity through the distortion chain
     J_ref[9, :] = du
     J_ref[25 + 9, :] = zero
     J_ref[10, :] = zero
@@ -172,8 +246,8 @@ def _perspective_kernel(M_ref, S_ref, b_ref, X_ref, uv_ref, k_ref,
     J_ref[25 + 11, :] = zero
     J_ref[12, :] = zero
     J_ref[25 + 12, :] = one
-    fxu = fx * x * iden
-    fyv = fy * y * iden
+    fxu = fx * u * iden
+    fyv = fy * v * iden
     rp = one
     for s in range(4):  # k1..k4
         rp = rp * r2
@@ -185,49 +259,69 @@ def _perspective_kernel(M_ref, S_ref, b_ref, X_ref, uv_ref, k_ref,
         J_ref[17 + s, :] = -fxu * radial * rp
         J_ref[25 + 17 + s, :] = -fyv * radial * rp
     J_ref[20, :] = fx * xy2
-    J_ref[25 + 20, :] = fy * (r2 + 2.0 * y * y)
-    J_ref[21, :] = fx * (r2 + 2.0 * x * x)
+    J_ref[25 + 20, :] = fy * (r2 + 2.0 * v * v)
+    J_ref[21, :] = fx * (r2 + 2.0 * u * u)
     J_ref[25 + 21, :] = fy * xy2
     J_ref[22, :] = fx * r2
     J_ref[25 + 22, :] = zero
     J_ref[23, :] = zero
     J_ref[25 + 23, :] = fy * r2
-    J_ref[24, :] = zero
-    J_ref[25 + 24, :] = zero
+    # d(du,dv)/domega = D * (x, y) * da/dw  (zero unless FOV)
+    du_dw = x * da_dw
+    dv_dw = y * da_dw
+    J_ref[24, :] = fx * (Dxx * du_dw + Dxy * dv_dw)
+    J_ref[25 + 24, :] = fy * (Dyx * du_dw + Dyy * dv_dw)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def perspective_resid_jac(Mrow, Srow, brow, Xrow, uvrow, krow,
-                          interpret: bool = False):
-    """Transposed inputs (k, O) -> (r (2, O), J (50, O))."""
+def projection_resid_jac(Mrow, Srow, brow, Xrow, uvrow, krow, kindrow,
+                         interpret: bool = False):
+    """Transposed inputs (k, O) -> (r (2, O), J (50, O)); all kinds.
+
+    The transcendental base-map scalars (atan/tan have no Mosaic
+    lowering) are computed here in XLA and streamed into the kernel as
+    three extra rows."""
     O = Mrow.shape[1]
     dtype = Mrow.dtype
     blk = min(OBS_BLOCK, max(LANES, O))
     grid = (_cdiv(O, blk),)
+
+    x, y = xy_from_rows(Mrow, brow, Xrow)
+    baserow = projection_base_rows(x, y, krow[15], kindrow[0])
 
     def spec(k):
         return pl.BlockSpec((k, blk), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        _perspective_kernel,
+        _projection_kernel,
         grid=grid,
-        in_specs=[spec(9), spec(9), spec(3), spec(3), spec(2), spec(15)],
+        in_specs=[spec(9), spec(9), spec(3), spec(3), spec(2), spec(16),
+                  spec(3)],
         out_specs=[spec(2), spec(50)],
         out_shape=[jax.ShapeDtypeStruct((2, O), dtype),
                    jax.ShapeDtypeStruct((50, O), dtype)],
         interpret=interpret,
-    )(Mrow, Srow, brow, Xrow, uvrow, krow)
+    )(Mrow, Srow, brow, Xrow, uvrow, krow, baserow)
 
 
-def ba_resid_jac_pinhole(fq, ft, sq, st, cpar, X, uv,
-                         interpret: bool | None = None):
+def perspective_resid_jac(Mrow, Srow, brow, Xrow, uvrow, krow,
+                          interpret: bool = False):
+    """Back-compat wrapper: kind-0 cameras, 15-slot intrinsics rows."""
+    krow16 = jnp.concatenate([krow, jnp.zeros_like(krow[:1])])
+    kindrow = jnp.zeros_like(krow[:1])
+    return projection_resid_jac(Mrow, Srow, brow, Xrow, uvrow, krow16,
+                                kindrow, interpret=interpret)
+
+
+def ba_resid_jac_gathered(fq, ft, sq, st, cpar, kind, X, uv,
+                          interpret: bool | None = None):
     """Gathered per-obs arrays (O, k) -> (r (O, 2), J (O, 2, 25)).
 
-    Drop-in replacement for the vmapped-jacfwd `_resid_and_jac_v` when all
-    cameras are perspective (kind 0) — any polynomial distortion. The
-    quat->rotmat precompute and the final transposes stay in XLA (cheap,
-    fusable); the heavy fused sweep is the Pallas kernel.
+    Drop-in replacement for the vmapped-jacfwd `_resid_and_jac_v` for any
+    canonical camera kind. The quat->rotmat precompute and the final
+    transposes stay in XLA (cheap, fusable); the heavy fused sweep is the
+    Pallas kernel.
     """
     from glomap_tpu.math import rotation as rotm
     if interpret is None:
@@ -245,14 +339,23 @@ def ba_resid_jac_pinhole(fq, ft, sq, st, cpar, X, uv,
             a2 = jnp.pad(a2, ((0, 0), (0, pad)))
         return a2
 
-    r_t, J_t = perspective_resid_jac(
+    r_t, J_t = projection_resid_jac(
         T(M, 9), T(Rs, 9), T(b, 3), T(X, 3), T(uv, 2),
-        T(cpar[:, 0:15], 15), interpret=interpret)
+        T(cpar[:, 0:16], 16), T(kind.astype(cpar.dtype), 1),
+        interpret=interpret)
     r = r_t[:, :O].T
     # J_t layout: row index = col + 25*row_of_r; de-interleave to (O, 2, 25)
     Jf = J_t[:, :O].T  # (O, 50)
     J = jnp.stack([Jf[:, 0:25], Jf[:, 25:50]], axis=1)  # (O, 2, 25)
     return r, J
+
+
+def ba_resid_jac_pinhole(fq, ft, sq, st, cpar, X, uv,
+                         interpret: bool | None = None):
+    """Back-compat wrapper of ba_resid_jac_gathered for kind-0 batches."""
+    kind = jnp.zeros((fq.shape[0],), dtype=cpar.dtype)
+    return ba_resid_jac_gathered(fq, ft, sq, st, cpar, kind, X, uv,
+                                 interpret=interpret)
 
 
 # ----------------------------------------------------------------------------

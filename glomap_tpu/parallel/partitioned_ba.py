@@ -269,6 +269,7 @@ def build_partitioned_ba_inputs(scene: Scene, tracks: Tracks, num_parts: int,
         frame_quat=np.asarray(scene.frame_quat).astype(dtype),
         frame_trans=np.asarray(scene.frame_trans).astype(dtype),
         cam_params=np.asarray(scene.cam_params).astype(dtype),
+        cam_kind=np.asarray(scene.cam_kind, np.int32),
         cam_T=cam_T.astype(dtype),
         frame_mask=frame_mask.astype(dtype),
         sensor_quat=np.asarray(scene.sensor_quat).astype(dtype),
@@ -331,20 +332,21 @@ def solve_ba_partitioned(scene: Scene, tracks: Tracks, mesh,
     stat = dict(statics)
 
     def body(points, o_frame, o_cam, o_point, o_sensor, o_kind, o_uv, o_w,
-             o_sq, o_st, fq, ft, cp, cam_T, frame_mask, sq, st, sm):
+             o_sq, o_st, fq, ft, cp, cam_kind, cam_T, frame_mask, sq, st,
+             sm):
         fqo, fto, cpo, X, cost, it, sqo, sto = _solve_ba(
             fq, ft, cp, points[0],
             o_frame[0], o_cam[0], o_point[0], o_sq[0], o_st[0],
             o_kind[0], o_uv[0], cam_T, o_w[0], frame_mask,
             o_sensor=o_sensor[0], sensor_quat=sq, sensor_trans=st,
-            sensor_mask=sm, mesh_axis=axis, **stat)
+            sensor_mask=sm, cam_kind=cam_kind, mesh_axis=axis, **stat)
         return fqo, fto, cpo, X[None], cost, it, sqo, sto
 
     sharded = P(axis)
     repl = P()
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(sharded,) * 10 + (repl,) * 8,
+        in_specs=(sharded,) * 10 + (repl,) * 9,
         out_specs=(repl, repl, repl, sharded, repl, repl, repl, repl),
         check_vma=False)
 
@@ -360,7 +362,8 @@ def solve_ba_partitioned(scene: Scene, tracks: Tracks, mesh,
         _ps(obs["o_uv"]), _ps(obs["o_w"]),
         _ps(obs["o_sensor_q"]), _ps(obs["o_sensor_t"]),
         _pr(params["frame_quat"]), _pr(params["frame_trans"]),
-        _pr(params["cam_params"]), _pr(params["cam_T"]),
+        _pr(params["cam_params"]), _pr(params["cam_kind"]),
+        _pr(params["cam_T"]),
         _pr(params["frame_mask"]), _pr(params["sensor_quat"]),
         _pr(params["sensor_trans"]), _pr(params["sensor_mask"]))
 

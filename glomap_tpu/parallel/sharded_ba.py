@@ -83,6 +83,7 @@ def build_ba_inputs(scene: Scene, tracks: Tracks,
         frame_quat=np.asarray(scene.frame_quat, dtype),
         frame_trans=np.asarray(scene.frame_trans, dtype),
         cam_params=np.asarray(scene.cam_params, dtype),
+        cam_kind=np.asarray(scene.cam_kind, np.int32),
         points=np.asarray(xyz, dtype),
         cam_T=np.asarray(cam_T, dtype),
         frame_mask=np.asarray(frame_mask, dtype),
@@ -135,7 +136,8 @@ def solve_ba_sharded(scene: Scene, tracks: Tracks, mesh=None,
         obs_sharded["o_uv"], params_repl["cam_T"], obs_sharded["o_w"],
         params_repl["frame_mask"], o_sensor=obs_sharded["o_sensor"],
         sensor_quat=params_repl["sensor_quat"],
-        sensor_trans=params_repl["sensor_trans"], **statics)
+        sensor_trans=params_repl["sensor_trans"],
+        cam_kind=params_repl["cam_kind"], **statics)
 
     scene.frame_quat[:] = np.asarray(fq, np.float64)
     scene.frame_trans[:] = np.asarray(ft, np.float64)

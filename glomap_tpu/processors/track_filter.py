@@ -74,6 +74,42 @@ def filter_tracks_by_reprojection(scene: Scene, tracks: Tracks,
     return n
 
 
+def complete_tracks(scene: Scene, tracks: Tracks,
+                    max_reproj_px: float = 15.0) -> int:
+    """Re-attach masked observations to valid tracks when they reproject
+    within the loose completion threshold at the CURRENT geometry.
+
+    Counterpart of colmap CompleteAndMergeTracks inside the reference's
+    retriangulation refinement loop (track_retriangulation.cc:80,99-116):
+    in the flat-array design every matched keypoint already belongs to
+    its transitive track (union-find closure = colmap's merge step), so
+    completion reduces to re-validating observations that earlier filter
+    passes masked but that the refined geometry now explains. This is
+    what sustains the reference's >=98%-observations oracle
+    (global_mapper_test.cc:213-217). Returns #observations recovered."""
+    if tracks.num_obs == 0:
+        return 0
+    reg = scene.frame_registered[scene.image_frame[tracks.obs_image]]
+    cand = ~tracks.obs_valid & tracks.valid[tracks.obs_track] & reg
+    if not cand.any():
+        return 0
+    pt_cam, ray, kp = _obs_geometry(scene, tracks)
+    z = pt_cam[..., 2]
+    cams = scene.image_camera[tracks.obs_image]
+    cpu = jax.local_devices(backend="cpu")[0]
+    px = np.asarray(_img_from_cam_jit(
+        jax.device_put(scene.cam_params[cams], cpu),
+        jax.device_put(scene.cam_kind[cams], cpu),
+        jax.device_put(pt_cam, cpu)))
+    err = np.linalg.norm(px - scene.kp_xy[kp], axis=-1)
+    recover = cand & (err < max_reproj_px) & (z >= EPS)
+    tracks.obs_valid |= recover
+    n = int(recover.sum())
+    if n:
+        logger.info("Completed %d observations into existing tracks", n)
+    return n
+
+
 def filter_tracks_by_angle(scene: Scene, tracks: Tracks,
                            max_angle_error_deg: float = 1.0) -> int:
     """Invalidate observations whose predicted direction deviates from the

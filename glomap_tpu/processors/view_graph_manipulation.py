@@ -69,20 +69,30 @@ def update_image_pairs_config(scene: Scene, vg: ViewGraph) -> int:
 
 
 def decompose_rel_pose(scene: Scene, vg: ViewGraph,
-                       pure_rotation_thres: float = 1e-12) -> int:
-    """Re-derive relative poses from E for pairs with calibrated cameras.
-    Returns the number of pure-rotation pairs detected."""
+                       pure_rotation_thres: float = 1e-3) -> int:
+    """Re-derive relative poses for pairs with calibrated cameras:
+    E-decomposition (cheirality-voted) for CALIBRATED pairs, Malis-Vargas
+    H-decomposition for PLANAR / PANORAMIC / PLANAR_OR_PANORAMIC pairs,
+    with pure-rotation reclassification to PANORAMIC (t = 0) — the
+    counterpart of colmap EstimateTwoViewGeometryPose inside
+    view_graph_manipulation.cc:240-313. Returns the number of
+    pure-rotation pairs detected."""
     if vg.num_pairs == 0:
         return 0
-    from glomap_tpu.estimators.relpose import _choose_pose_tab
+    from glomap_tpu.estimators.relpose import (_cheirality_tab,
+                                               _choose_pose_tab,
+                                               _sampson_tab)
     from glomap_tpu.processors.undistortion import undistort_images
 
     prior = scene.cam_has_prior_focal
     ci = scene.image_camera[vg.pair_i]
     cj = scene.image_camera[vg.pair_j]
-    use = vg.pair_valid & prior[ci] & prior[cj] & \
-        ((vg.pair_config == CONFIG_CALIBRATED) |
-         (vg.pair_config == CONFIG_PLANAR))
+    both_prior = vg.pair_valid & prior[ci] & prior[cj]
+    use_e = both_prior & (vg.pair_config == CONFIG_CALIBRATED)
+    use_h = both_prior & ((vg.pair_config == CONFIG_PLANAR) |
+                          (vg.pair_config == CONFIG_PANORAMIC) |
+                          (vg.pair_config == CONFIG_PLANAR_OR_PANORAMIC))
+    use = use_e | use_h
     if not use.any():
         return 0
 
@@ -117,12 +127,66 @@ def decompose_rel_pose(scene: Scene, vg: ViewGraph,
     t = np.asarray(t)
     tn = np.linalg.norm(t, axis=-1)
     t = np.where(tn[:, None] > 1e-12, t / np.maximum(tn[:, None], 1e-12), t)
-    vg.pair_quat[use] = q[use]
-    vg.pair_trans[use] = t[use]
-    # PLANAR pairs with calibrated cameras adopt the decomposed pose
-    vg.pair_config[use & (vg.pair_config == CONFIG_PLANAR)] = \
-        CONFIG_CALIBRATED
-    n_pure = int((use & (tn <= pure_rotation_thres)).sum())
+    vg.pair_quat[use_e] = q[use_e]
+    vg.pair_trans[use_e] = t[use_e]
+
+    n_pure = 0
+    if use_h.any():
+        import jax
+        from glomap_tpu.math import rotation as rotm
+        from glomap_tpu.math import two_view as tv
+        from glomap_tpu.math.homography import decompose_homography
+        idx_h = np.nonzero(use_h)[0]
+        # calibrated homography: Hn = K2^-1 H K1
+        K1 = np.asarray(tv.calib_matrix(
+            scene.cam_params[ci[idx_h], 0], scene.cam_params[ci[idx_h], 1],
+            scene.cam_params[ci[idx_h], 2], scene.cam_params[ci[idx_h], 3]))
+        K2i = np.asarray(tv.calib_matrix_inv(
+            scene.cam_params[cj[idx_h], 0], scene.cam_params[cj[idx_h], 1],
+            scene.cam_params[cj[idx_h], 2], scene.cam_params[cj[idx_h], 3]))
+        Hn = K2i @ vg.pair_H[idx_h] @ K1
+        R4, t4, n4, pure = decompose_homography(
+            Hn, pure_rot_eps=pure_rotation_thres)
+        # candidate selection on the pair tables: cheirality AND epipolar
+        # (Sampson) consistency — cheirality alone cannot separate the
+        # two Malis solution families when matches are off-plane; the
+        # true pose is the one whose E = [t]x R fits the actual matches
+        tab_h = tuple(a[idx_h] for a in tab)
+        mask_h = jnp.asarray(mask_np[idx_h])
+        sq_thr = 1e-4  # (1e-2 normalized reproj)^2, types.h defaults
+        votes = []
+        for k in range(4):
+            Rk = R4[:, k]
+            tk = t4[:, k]
+            R9 = jnp.asarray(Rk.reshape(-1, 9))
+            ch = _cheirality_tab(R9, jnp.asarray(tk), tab_h) & mask_h
+            tx = np.zeros_like(Rk)
+            tx[:, 0, 1] = -tk[:, 2]
+            tx[:, 0, 2] = tk[:, 1]
+            tx[:, 1, 0] = tk[:, 2]
+            tx[:, 1, 2] = -tk[:, 0]
+            tx[:, 2, 0] = -tk[:, 1]
+            tx[:, 2, 1] = tk[:, 0]
+            E9 = jnp.asarray((tx @ Rk).reshape(-1, 9))
+            samp_ok = _sampson_tab(E9, tab_h) < sq_thr
+            votes.append(np.asarray(jnp.sum(ch & samp_ok, axis=1)))
+        k_best = np.argmax(np.stack(votes), axis=0)
+        Rh = R4[np.arange(len(idx_h)), k_best]
+        th = t4[np.arange(len(idx_h)), k_best]
+        thn = np.linalg.norm(th, axis=-1)
+        is_pure = pure | (thn <= pure_rotation_thres)
+        th = np.where(is_pure[:, None], 0.0,
+                      th / np.maximum(thn[:, None], 1e-12))
+        vg.pair_quat[idx_h] = np.asarray(rotm.rotmat_to_quat(
+            jnp.asarray(Rh)))
+        vg.pair_trans[idx_h] = th
+        # reclassify: pure rotation -> PANORAMIC (excluded from
+        # translation constraints downstream); otherwise the pair's
+        # H-derived pose is as good as calibrated
+        vg.pair_config[idx_h[is_pure]] = CONFIG_PANORAMIC
+        vg.pair_config[idx_h[~is_pure]] = CONFIG_CALIBRATED
+        n_pure = int(is_pure.sum())
+
     logger.info("Decomposed %d pairs (%d pure rotation)", int(use.sum()),
                 n_pure)
     return n_pure

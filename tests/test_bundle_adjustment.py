@@ -95,6 +95,25 @@ def test_ba_recovers_focal():
                                atol=1e-12)
 
 
+def test_ba_fisheye_fast_path():
+    """Fisheye scenes run the Pallas all-kind fast path (no (O, 2, 25)
+    jacfwd materialization) and hit the noiseless oracle."""
+    from glomap_tpu.estimators.bundle_adjustment import ba_fast_path_ok
+    from glomap_tpu.ops import camera_models as cm
+
+    scene, vg, tracks, gt = _prepare(
+        SyntheticOptions(num_frames_per_rig=12, num_points3D=150, seed=24,
+                         camera_model=cm.OPENCV_FISHEYE,
+                         camera_params=(450.0, 450.0, 512.0, 384.0,
+                                        0.03, -0.005, 1e-3, -1e-4)))
+    assert (scene.cam_kind == 1).all()
+    assert ba_fast_path_ok(scene)  # round-1 gap: this used to be False
+    assert solve_bundle_adjustment(scene, tracks)
+    c_err, r_err = _pose_errors(scene, gt)
+    assert r_err.max() < 1e-2
+    assert c_err.max() < 1e-4
+
+
 def test_ba_noisy_keypoints():
     scene, vg, tracks, gt = _prepare(
         SyntheticOptions(num_frames_per_rig=15, num_points3D=300, seed=23,

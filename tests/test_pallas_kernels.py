@@ -65,6 +65,52 @@ def test_perspective_distortion_jac_matches_autodiff():
     _check_kernel_vs_autodiff(300, seed=7, distortion=True)
 
 
+def _check_kind_kernel_vs_autodiff(n, seed, kinds, distortion=True,
+                                   omega=0.9):
+    """All-kind projection kernel vs the vmapped-jacfwd reference."""
+    from glomap_tpu.estimators.bundle_adjustment import _resid_and_jac_v
+
+    q, ft, qs, st, cpar, X, uv = _random_pinhole_obs(
+        n, seed=seed, distortion=distortion)
+    rng = np.random.default_rng(seed + 1)
+    kind = jnp.asarray(rng.choice(kinds, n).astype(np.int32))
+    cpar[:, 15] = omega  # FOV omega (ignored by other kinds)
+    if distortion:
+        # fisheye uses the theta-polynomial slots only (like colmap)
+        cpar[:, 8:11] = 0.0
+        cpar[:, 11:15] *= 0.1
+    T = jnp.broadcast_to(jnp.eye(16), (n, 16, 16))
+
+    r_ref, J_ref = _resid_and_jac_v(
+        jnp.asarray(q), jnp.asarray(ft), jnp.asarray(qs), jnp.asarray(st),
+        jnp.asarray(cpar), kind, jnp.asarray(X), jnp.asarray(uv), T, 25)
+
+    r_k, J_k = pk.ba_resid_jac_gathered(
+        jnp.asarray(q), jnp.asarray(ft), jnp.asarray(qs), jnp.asarray(st),
+        jnp.asarray(cpar), kind, jnp.asarray(X), jnp.asarray(uv),
+        interpret=True)
+
+    np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_ref),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(J_k), np.asarray(J_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fisheye_resid_jac_matches_autodiff():
+    """Kind-1 (equidistant fisheye: OPENCV_FISHEYE / *_FISHEYE models)."""
+    _check_kind_kernel_vs_autodiff(300, seed=3, kinds=[1])
+
+
+def test_fov_resid_jac_matches_autodiff():
+    """Kind-2 (FOV model) including the omega intrinsic column."""
+    _check_kind_kernel_vs_autodiff(300, seed=4, kinds=[2])
+
+
+def test_mixed_kind_resid_jac_matches_autodiff():
+    """Mixed perspective + fisheye + FOV batch in ONE fused sweep."""
+    _check_kind_kernel_vs_autodiff(512, seed=5, kinds=[0, 1, 2])
+
+
 def test_huber_weight_cost_matches():
     from glomap_tpu.estimators.bundle_adjustment import (_huber_cost,
                                                          _huber_weight)
