@@ -131,6 +131,11 @@ class TriangulatorOptions:
     # reference runs inside TriangulateImage
     tri_create_max_angle_error: float = 2.0
     tri_ransac_hypotheses: int = 16
+    # generations of split-and-retrack for keypoints left unexplained by
+    # the previous generation's accepted points (outlier matches fuse
+    # unrelated points into one union-find component; see
+    # controllers/retriangulation.retriangulate_tracks)
+    tri_num_generations: int = 3
 
 
 @dataclass

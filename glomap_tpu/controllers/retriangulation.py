@@ -32,48 +32,199 @@ from glomap_tpu.scene.view_graph import ViewGraph
 logger = logging.getLogger(__name__)
 
 
+def _triangulate_track_set(scene: Scene, t: Tracks,
+                           opts: TriangulatorOptions) -> Tracks:
+    """RANSAC-create + filter + clean re-triangulation of one track set."""
+    ok = ransac_triangulate_tracks(
+        scene, t,
+        max_angle_error_deg=opts.tri_create_max_angle_error,
+        min_tri_angle_deg=opts.tri_min_angle,
+        num_hyps=opts.tri_ransac_hypotheses)
+    t.valid &= ok
+
+    # acceptance: pixel-space reprojection below the (loose) completion
+    # threshold, then min triangulation angle
+    tf.filter_tracks_by_reprojection(
+        scene, t, opts.tri_complete_max_reproj_error,
+        in_normalized_image=False)
+    tf.filter_tracks_by_triangulation_angle(scene, t, opts.tri_min_angle)
+    # drop tracks that fell under 2 observations, re-triangulate cleanly
+    counts = np.bincount(t.obs_track[t.obs_valid], minlength=t.num_tracks)
+    t.valid &= counts >= 2
+    ok = triangulate_tracks(scene, t)
+    t.valid &= ok
+    return t.compact()
+
+
+def _concat_tracks(a: Tracks, b: Tracks) -> Tracks:
+    """Append track set b after a (ids offset; obs stay track-sorted)."""
+    off = a.num_tracks
+    return Tracks(
+        xyz=np.concatenate([a.xyz, b.xyz]),
+        valid=np.concatenate([a.valid, b.valid]),
+        color=np.concatenate([a.color, b.color]) if len(a.color) or
+        len(b.color) else a.color,
+        obs_track=np.concatenate([a.obs_track,
+                                  b.obs_track + np.int32(off)]),
+        obs_image=np.concatenate([a.obs_image, b.obs_image]),
+        obs_feature=np.concatenate([a.obs_feature, b.obs_feature]),
+        obs_valid=np.concatenate([a.obs_valid, b.obs_valid]),
+    )
+
+
+def complete_tracks_from_matches(scene: Scene, vg: ViewGraph,
+                                 tracks: Tracks, max_reproj_px: float,
+                                 rounds: int = 3) -> int:
+    """Attach UNEXPLAINED keypoints to existing tracks through the match
+    graph: a keypoint with an inlier match to a keypoint explained by
+    track T becomes a candidate (kp, T) and is accepted when T's point
+    reprojects within the loose completion threshold.
+
+    This is the part of colmap CompleteTracks
+    (track_retriangulation.cc:80) that the in-place re-validation
+    (processors/track_filter.complete_tracks) cannot do: a keypoint that
+    an outlier match fused into the WRONG union-find component has no
+    observation row in its true track, so it must be re-attached via its
+    own 2-view correspondences. Transitive (multi-round). Appends obs
+    rows and re-sorts the obs arrays by (track, image). Returns
+    #observations added."""
+    import jax
+    from glomap_tpu.math import rotation as rotm
+    from glomap_tpu.ops import camera_models as cmod
+    from glomap_tpu.processors.track_filter import _img_from_cam_jit
+
+    use = vg.pair_valid[vg.match_pair] & vg.match_inlier
+    mp = vg.match_pair[use]
+    kp1 = scene.kp_offset[vg.pair_i[mp]] + vg.match_f1[use]
+    kp2 = scene.kp_offset[vg.pair_j[mp]] + vg.match_f2[use]
+    kp_image = np.repeat(np.arange(scene.num_images, dtype=np.int64),
+                         np.diff(scene.kp_offset))
+    q_img, t_img = scene.image_cam_from_world()
+    reg_img = scene.frame_registered[scene.image_frame]
+    cpu = jax.local_devices(backend="cpu")[0]
+
+    total_added = 0
+    for _ in range(max(rounds, 1)):
+        kp_track = np.full(scene.num_keypoints, -1, dtype=np.int64)
+        ok_obs = tracks.obs_valid & tracks.valid[tracks.obs_track]
+        kp_idx = scene.kp_offset[tracks.obs_image] + tracks.obs_feature
+        kp_track[kp_idx[ok_obs]] = tracks.obs_track[ok_obs]
+
+        # candidates: one endpoint explained, the other not
+        a = np.concatenate([kp1, kp2])
+        b = np.concatenate([kp2, kp1])
+        cand = (kp_track[a] >= 0) & (kp_track[b] < 0) & \
+            reg_img[kp_image[b]]
+        ckp = b[cand]
+        ctr = kp_track[a[cand]]
+        if len(ckp) == 0:
+            break
+        # dedupe (kp, track)
+        key = ckp * np.int64(tracks.num_tracks) + ctr
+        uniq = np.unique(key)
+        ckp = uniq // tracks.num_tracks
+        ctr = uniq % tracks.num_tracks
+
+        img = kp_image[ckp]
+        cam = scene.image_camera[img]
+        X = tracks.xyz[ctr]
+        pt_cam = np.asarray(rotm.quat_rotate(q_img[img], X)) + t_img[img]
+        px = np.asarray(_img_from_cam_jit(
+            jax.device_put(scene.cam_params[cam], cpu),
+            jax.device_put(scene.cam_kind[cam], cpu),
+            jax.device_put(pt_cam, cpu)))
+        err = np.linalg.norm(px - scene.kp_xy[ckp], axis=-1)
+        good = (err < max_reproj_px) & (pt_cam[:, 2] > 1e-12)
+        if not good.any():
+            break
+        # one track per keypoint: keep the smallest error
+        order = np.lexsort((err[good], ckp[good]))
+        gkp = ckp[good][order]
+        gtr = ctr[good][order]
+        first = np.ones(len(gkp), dtype=bool)
+        first[1:] = gkp[1:] != gkp[:-1]
+        gkp = gkp[first]
+        gtr = gtr[first]
+
+        tracks.obs_track = np.concatenate(
+            [tracks.obs_track, gtr.astype(np.int32)])
+        tracks.obs_image = np.concatenate(
+            [tracks.obs_image, kp_image[gkp].astype(np.int32)])
+        tracks.obs_feature = np.concatenate(
+            [tracks.obs_feature,
+             (gkp - scene.kp_offset[kp_image[gkp]]).astype(np.int32)])
+        tracks.obs_valid = np.concatenate(
+            [tracks.obs_valid, np.ones(len(gkp), dtype=bool)])
+        total_added += len(gkp)
+
+    if total_added:
+        # restore the (track, image)-sorted invariant the solvers expect
+        order = np.lexsort((tracks.obs_image, tracks.obs_track))
+        tracks.obs_track = tracks.obs_track[order]
+        tracks.obs_image = tracks.obs_image[order]
+        tracks.obs_feature = tracks.obs_feature[order]
+        tracks.obs_valid = tracks.obs_valid[order]
+        logger.info("Completed %d observations through the match graph",
+                    total_added)
+    return total_added
+
+
 def retriangulate_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
                          opts: TriangulatorOptions | None = None) -> Tracks:
     opts = opts or TriangulatorOptions()
     if not scene.kp_ray.any():
         undistort_images(scene)
-
-    new_tracks = establish_full_tracks(scene, vg)
-    # only observations of registered frames participate
     reg = scene.frame_registered[scene.image_frame]
-    new_tracks.obs_valid &= reg[new_tracks.obs_image]
 
-    # robust creation: per-track two-view RANSAC with angular support
-    # (counterpart of colmap EstimateTriangulation inside TriangulateImage;
-    # outlier observations in the transitive match closure are masked)
-    ok = ransac_triangulate_tracks(
-        scene, new_tracks,
-        max_angle_error_deg=opts.tri_create_max_angle_error,
-        min_tri_angle_deg=opts.tri_min_angle,
-        num_hyps=opts.tri_ransac_hypotheses)
-    new_tracks.valid &= ok
+    # Generational track building: outlier matches fuse unrelated points
+    # into one union-find component; RANSAC keeps only the majority
+    # component, and the leftover observations would die with it. Each
+    # generation re-runs the transitive closure restricted to the
+    # keypoints not yet explained by an accepted point — splitting the
+    # corrupted components exactly where colmap's per-image
+    # TriangulateImage would seed fresh points from leftover features
+    # (track_retriangulation.cc:59-122). This is what sustains the
+    # reference's >=98%-observations oracle under outlier matches.
+    # during retriangulation the inconsistency filter must NOT kill fused
+    # components outright (reference track_establishment.cc:107-146 does,
+    # but its retriangulation bypasses the track engine entirely):
+    # RANSAC triangulation keeps each component's majority point and the
+    # next generation re-tracks the leftover — the bridge (outlier) match
+    # is excluded automatically because its other endpoint is explained.
+    from glomap_tpu.config import TrackEstablishmentOptions
+    te_opts = TrackEstablishmentOptions(thres_inconsistency=1e12)
 
-    # acceptance: pixel-space reprojection below the (loose) completion
-    # threshold, then min triangulation angle
-    tf.filter_tracks_by_reprojection(
-        scene, new_tracks, opts.tri_complete_max_reproj_error,
-        in_normalized_image=False)
-    tf.filter_tracks_by_triangulation_angle(scene, new_tracks,
-                                            opts.tri_min_angle)
-    # drop tracks that fell under 2 observations, re-triangulate cleanly
-    counts = np.bincount(new_tracks.obs_track[new_tracks.obs_valid],
-                         minlength=new_tracks.num_tracks)
-    new_tracks.valid &= counts >= 2
-    ok = triangulate_tracks(scene, new_tracks)
-    new_tracks.valid &= ok
+    merged: Tracks | None = None
+    kp_mask = None
+    for gen in range(max(int(opts.tri_num_generations), 1)):
+        t = establish_full_tracks(scene, vg, te_opts, kp_mask=kp_mask)
+        t.obs_valid &= reg[t.obs_image]
+        if int(t.obs_valid.sum()) < 2:
+            break
+        t = _triangulate_track_set(scene, t, opts)
+        if t.num_tracks == 0:
+            break
+        merged = t if merged is None else _concat_tracks(merged, t)
+        explained = np.zeros(scene.num_keypoints, dtype=bool)
+        kp_idx = scene.kp_offset[merged.obs_image] + merged.obs_feature
+        explained[kp_idx[merged.obs_valid &
+                         merged.valid[merged.obs_track]]] = True
+        kp_mask = ~explained
+        if int(kp_mask.sum()) == 0:
+            break
 
+    if merged is None:
+        merged = Tracks()
     # completion: re-attach masked observations that the freshly
     # triangulated geometry explains within the loose threshold
     # (colmap CompleteAndMergeTracks, track_retriangulation.cc:80)
-    tf.complete_tracks(scene, new_tracks,
-                       opts.tri_complete_max_reproj_error)
+    tf.complete_tracks(scene, merged, opts.tri_complete_max_reproj_error)
+    # ...and attach still-unexplained keypoints to existing tracks
+    # through their own inlier matches (wrong-component rescues)
+    complete_tracks_from_matches(scene, vg, merged,
+                                 opts.tri_complete_max_reproj_error)
 
-    out = new_tracks.compact()
+    out = merged.compact()
     logger.info("Retriangulation: %d tracks (%d observations)",
                 out.num_tracks, out.num_obs)
     return out

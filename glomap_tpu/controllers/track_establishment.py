@@ -34,13 +34,22 @@ def _kp_image_map(scene: Scene) -> np.ndarray:
 
 
 def establish_full_tracks(scene: Scene, vg: ViewGraph,
-                          opts: TrackEstablishmentOptions | None = None
-                          ) -> Tracks:
+                          opts: TrackEstablishmentOptions | None = None,
+                          kp_mask: np.ndarray | None = None) -> Tracks:
+    """kp_mask (num_keypoints,) bool: restrict the union-find to matches
+    whose BOTH endpoints are unmasked — used by the retriangulation
+    generations to re-track only the keypoints not yet explained by an
+    accepted point (the flat-design counterpart of colmap's per-image
+    triangulation seeding new points from leftover features)."""
     opts = opts or TrackEstablishmentOptions()
     use = vg.pair_valid[vg.match_pair] & vg.match_inlier
     mp = vg.match_pair[use]
     kp1 = scene.kp_offset[vg.pair_i[mp]] + vg.match_f1[use]
     kp2 = scene.kp_offset[vg.pair_j[mp]] + vg.match_f2[use]
+    if kp_mask is not None:
+        keep = kp_mask[kp1] & kp_mask[kp2]
+        kp1 = kp1[keep]
+        kp2 = kp2[keep]
 
     track_of_kp, num_tracks = native.establish_tracks(
         scene.num_keypoints, kp1, kp2)

@@ -45,6 +45,7 @@ FOV = 7
 SIMPLE_RADIAL_FISHEYE = 8
 RADIAL_FISHEYE = 9
 THIN_PRISM_FISHEYE = 10
+RADIAL1D = 11  # colmap Radial1DCameraModel ("1D_RADIAL")
 
 MODEL_NAMES = {
     SIMPLE_PINHOLE: "SIMPLE_PINHOLE",
@@ -58,8 +59,10 @@ MODEL_NAMES = {
     SIMPLE_RADIAL_FISHEYE: "SIMPLE_RADIAL_FISHEYE",
     RADIAL_FISHEYE: "RADIAL_FISHEYE",
     THIN_PRISM_FISHEYE: "THIN_PRISM_FISHEYE",
+    RADIAL1D: "1D_RADIAL",
 }
 MODEL_IDS = {v: k for k, v in MODEL_NAMES.items()}
+MODEL_IDS["RADIAL1D"] = RADIAL1D  # both spellings appear in the wild
 
 NUM_PARAMS = {
     SIMPLE_PINHOLE: 3,
@@ -126,6 +129,21 @@ def canonicalize(model_id: int, params: np.ndarray) -> tuple[np.ndarray, int]:
         c[0:4] = p[0:4]; c[4:6] = p[4:6]; c[11:13] = p[6:8]
         c[6:8] = p[8:10]; c[13:15] = p[10:12]
         kind = KIND_FISHEYE
+    elif model_id == RADIAL1D:
+        # Principled rejection: the 1D radial model (Larsson et al.)
+        # constrains only the DIRECTION from the principal point — its
+        # reprojection residual is a point-to-radial-line distance, not a
+        # 2D point difference, so it cannot be expressed in the canonical
+        # point-projection superset without silently changing the cost.
+        # The reference inherits the same limitation implicitly: its BA
+        # dispatches colmap point-reprojection functors per model
+        # (bundle_adjustment.cc:129-186), which colmap only defines for
+        # full-projection models. Calibrate such cameras to a
+        # SIMPLE_RADIAL (or similar) model before mapping.
+        raise ValueError(
+            "1D_RADIAL cameras are not supported: the model has no "
+            "point-projection (only radial directions); re-calibrate to "
+            "a full model (e.g. SIMPLE_RADIAL) before running the mapper")
     else:
         raise ValueError(f"unknown camera model id {model_id}")
     return c, kind

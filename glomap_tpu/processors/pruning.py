@@ -86,45 +86,12 @@ def prune_weakly_connected_images(scene: Scene, tracks: Tracks,
     thres = max(med - mad, 20.0)
     logger.info("Strong-clustering threshold: %.1f", thres)
 
-    parent = np.arange(F)
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    for a, b, c in zip(f1, f2, cnt):
-        if c > thres:
-            union(int(a), int(b))
-
-    # iterative merging via slightly-weaker edges (>= 0.75 thres, >= 2
-    # connecting pairs between two clusters)
-    for _ in range(10):
-        weak = cnt >= 0.75 * thres
-        ra = np.asarray([find(int(x)) for x in f1])
-        rb = np.asarray([find(int(x)) for x in f2])
-        cross = weak & (ra != rb)
-        if not cross.any():
-            break
-        lo = np.minimum(ra[cross], rb[cross])
-        hi = np.maximum(ra[cross], rb[cross])
-        key = lo * F + hi
-        uniq, n = np.unique(key, return_counts=True)
-        merged = False
-        for k, c in zip(uniq, n):
-            if c >= 2:
-                union(int(k // F), int(k % F))
-                merged = True
-        if not merged:
-            break
-
-    labels = np.asarray([find(int(x)) for x in range(F)])
+    # shared strong-clustering core (same code path as the view-graph
+    # clusterer, view_graph_manipulation.cc:70-177)
+    from glomap_tpu.processors.view_graph_manipulation import (
+        strong_cluster_labels)
+    labels = strong_cluster_labels(F, f1, f2, cnt.astype(np.float64),
+                                   thres)
     # relabel by decreasing size among registered frames
     reg = scene.frame_registered
     vals, counts = np.unique(labels[reg], return_counts=True)

@@ -213,21 +213,61 @@ def sparsify_graph(vg: ViewGraph, scene: Scene, expected_degree: int = 50,
     return n
 
 
+def strong_cluster_labels(num_nodes: int, f1: np.ndarray, f2: np.ndarray,
+                          w: np.ndarray, thres: float,
+                          weak_factor: float = 0.75,
+                          min_weak_links: int = 2,
+                          rounds: int = 10) -> np.ndarray:
+    """Shared strong-clustering core (EstablishStrongClusters,
+    view_graph_manipulation.cc:70-177): connected components over edges
+    with w > thres, then iterative merging of clusters joined by at least
+    `min_weak_links` slightly-weaker edges (w >= weak_factor * thres).
+    Fully vectorized (native connected components per round); used by
+    both the view-graph clusterer and reconstruction pruning."""
+    from glomap_tpu import native
+
+    f1 = np.asarray(f1, np.int64)
+    f2 = np.asarray(f2, np.int64)
+    strong = w > thres
+    acc_i = [f1[strong]]
+    acc_j = [f2[strong]]
+    labels = native.connected_components(
+        num_nodes, acc_i[0], acc_j[0])
+    weak = w >= weak_factor * thres
+    for _ in range(rounds):
+        ra = labels[f1]
+        rb = labels[f2]
+        cross = weak & (ra != rb)
+        if not cross.any():
+            break
+        lo = np.minimum(ra[cross], rb[cross]).astype(np.int64)
+        hi = np.maximum(ra[cross], rb[cross]).astype(np.int64)
+        key = lo * num_nodes + hi
+        uniq, n = np.unique(key, return_counts=True)
+        mergeable = uniq[n >= min_weak_links]
+        if len(mergeable) == 0:
+            break
+        acc_i.append((mergeable // num_nodes).astype(np.int64))
+        acc_j.append((mergeable % num_nodes).astype(np.int64))
+        labels = native.connected_components(
+            num_nodes, np.concatenate(acc_i), np.concatenate(acc_j))
+    return labels
+
+
 def establish_strong_clusters(scene: Scene, vg: ViewGraph,
                               min_inliers: int = 30,
                               min_ratio: float = 0.25) -> np.ndarray:
-    """Union-find clustering over 'strong' pairs; weak-only frames get
-    separate clusters (counterpart of EstablishStrongClusters,
-    view_graph_manipulation.cc:70-177, simplified to one pass).
-    Returns per-frame cluster labels (also stored in scene.frame_cluster)."""
-    from glomap_tpu import native
-
+    """Strong clustering over inlier-count pair weights (counterpart of
+    EstablishStrongClusters with INLIER_NUM criteria,
+    view_graph_manipulation.cc:70-177). Returns per-frame cluster labels
+    (also stored in scene.frame_cluster)."""
     total = np.maximum(np.diff(vg.pair_match_offset), 1)
-    strong = vg.pair_valid & (vg.pair_num_inliers >= min_inliers) & \
-        (vg.pair_num_inliers / total >= min_ratio)
-    fi = scene.image_frame[vg.pair_i[strong]]
-    fj = scene.image_frame[vg.pair_j[strong]]
-    labels = native.connected_components(scene.num_frames, fi, fj)
+    ok = vg.pair_valid & (vg.pair_num_inliers / total >= min_ratio)
+    fi = scene.image_frame[vg.pair_i[ok]]
+    fj = scene.image_frame[vg.pair_j[ok]]
+    w = vg.pair_num_inliers[ok].astype(np.float64)
+    labels = strong_cluster_labels(scene.num_frames, fi, fj, w,
+                                   thres=float(min_inliers) - 1e-9)
     # relabel by decreasing cluster size so cluster 0 is the largest
     vals, counts = np.unique(labels, return_counts=True)
     order = vals[np.argsort(-counts)]

@@ -108,3 +108,13 @@ def test_projection_gradients_finite():
                                          jnp.asarray([0.3, -0.2, 2.0]))
     assert np.all(np.isfinite(np.asarray(gc)))
     assert np.all(np.isfinite(np.asarray(gx)))
+
+
+def test_radial1d_rejected_with_clear_error():
+    """1D_RADIAL has no point projection; ingestion must fail loudly with
+    actionable guidance instead of silently mis-projecting."""
+    import pytest
+    with pytest.raises(ValueError, match="1D_RADIAL.*SIMPLE_RADIAL"):
+        cm.canonicalize(cm.RADIAL1D, [320.0, 240.0])
+    assert cm.MODEL_IDS["1D_RADIAL"] == cm.RADIAL1D
+    assert cm.MODEL_IDS["RADIAL1D"] == cm.RADIAL1D

@@ -1,5 +1,10 @@
 """CLI tests: mapper, mapper_resume, rotation_averager end to end."""
 
+import pytest
+
+# full-pipeline runs take minutes each; see pyproject markers
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 from glomap_tpu.cli import main

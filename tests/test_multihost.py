@@ -7,6 +7,11 @@ The workers run in fresh subprocesses (tests/multihost_worker.py) because
 jax.distributed can only be initialized once per process.
 """
 
+import pytest
+
+# full-pipeline runs take minutes each; see pyproject markers
+pytestmark = pytest.mark.slow
+
 import os
 import re
 import socket
