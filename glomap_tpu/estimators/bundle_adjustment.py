@@ -271,27 +271,30 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         uvT_const = o_uv.T  # (2, O), constant
 
     def _persp_rows(fq, ft, sq, st, cp, X):
-        """(M9 (9,O), S9 (9,O), b3 (3,O), X3 (3,O), uvT (2,O), k16 (16,O),
-        kind1 (1,O)) via per-(frame, sensor) tables expanded with one-hot
-        matmuls."""
+        """((M9 (9,O), S9 (9,O), b3 (3,O), X3 (3,O), uvT (2,O), k16
+        (16,O), kind1 (1,O)), ts3 (3,O)) via per-(frame, sensor) tables
+        expanded with one-hot matmuls; ts3 feeds the rig-pose kernel
+        columns."""
         from glomap_tpu.math import rotation as rotm
         Rf = rotm.quat_to_rotmat(fq)  # (F, 3, 3)
         Rs = rotm.quat_to_rotmat(sq)  # (S, 3, 3)
         M_fs = jnp.einsum("sij,fjk->fsik", Rs, Rf)  # (F, S, 3, 3)
         b_fs = jnp.einsum("sij,fj->fsi", Rs, ft) + st[None]  # (F, S, 3)
-        # one table gather for [M9 | S9 | b3] (15 columns)
-        S_rep = jnp.broadcast_to(Rs.reshape(1, -1, 9),
-                                 (fq.shape[0], Rs.shape[0], 9))
+        # one table gather for [M9 | S9 | b3 | ts3] (24 columns)
+        F_, S_ = fq.shape[0], Rs.shape[0]
+        S_rep = jnp.broadcast_to(Rs.reshape(1, -1, 9), (F_, S_, 9))
+        ts_rep = jnp.broadcast_to(st.reshape(1, -1, 3), (F_, S_, 3))
         tab = jnp.concatenate([M_fs.reshape(-1, 9), S_rep.reshape(-1, 9),
-                               b_fs.reshape(-1, 3)], axis=1)
-        rows = gather_fs(tab)  # (21, O)
+                               b_fs.reshape(-1, 3), ts_rep.reshape(-1, 3)],
+                              axis=1)
+        rows = gather_fs(tab)  # (24, O)
         X3 = gather_p(X)
         # intrinsics + kind ride ONE per-camera table gather (17 columns)
         cam_tab = jnp.concatenate(
             [cp, kind_col.astype(cp.dtype)], axis=1)  # (C, 17)
         krows = gather_c(cam_tab)
-        return (rows[0:9], rows[9:18], rows[18:21], X3, uvT_const,
-                krows[0:16], krows[16:17])
+        return ((rows[0:9], rows[9:18], rows[18:21], X3, uvT_const,
+                 krows[0:16], krows[16:17]), rows[21:24])
 
     def _persp_resid_rows(M9, S9, b3, X3, uvT, k16, kind1):
         """Residual only (2, O), lane-major, all kinds (cost evals)."""
@@ -337,7 +340,8 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         if use_tables:
             s_q = sq if optimize_rig else sensor_quat
             s_t = st if optimize_rig else sensor_trans
-            rT = _persp_resid_rows(*_persp_rows(fq, ft, s_q, s_t, cp, X))
+            rows, _ = _persp_rows(fq, ft, s_q, s_t, cp, X)
+            rT = _persp_resid_rows(*rows)
             r2 = rT[0] * rT[0] + rT[1] * rT[1]
             return psum_scalar(jnp.sum(o_w * _huber_cost(r2, huber_delta)))
         qs_o, ts_o = (o_sensor_q, o_sensor_t) if not optimize_rig \
@@ -356,22 +360,25 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         if fast_path and use_tables:
             # Pallas fused closed-form kernel over ALL camera kinds
             # (perspective / fisheye / FOV) — emits lane-major (2, O) /
-            # (50, O) natively
+            # (2*zdim, O) natively; optimize_rig adds the sensor-pose
+            # columns in-kernel (no jacfwd fallback remains)
             from glomap_tpu.ops.pallas_kernels import (projection_resid_jac,
                                                        _on_tpu, LANES)
             s_q = sq if optimize_rig else sensor_quat
             s_t = st if optimize_rig else sensor_trans
-            rows = _persp_rows(fq, ft, s_q, s_t, cp, X)
+            rows, ts3 = _persp_rows(fq, ft, s_q, s_t, cp, X)
             pad = (-num_obs) % LANES
 
             def padded(a):
                 return jnp.pad(a, ((0, 0), (0, pad))) if pad else a
 
             rT, JT = projection_resid_jac(
-                *[padded(a) for a in rows], interpret=not _on_tpu())
+                *[padded(a) for a in rows],
+                tsrow=padded(ts3) if optimize_rig else None,
+                interpret=not _on_tpu())
             rT = rT[:, :num_obs]
             JT = JT[:, :num_obs]
-        elif fast_path:
+        elif fast_path and not optimize_rig:
             # no sensor index table available (legacy callers): per-obs
             # gathers via the wrapper
             from glomap_tpu.ops.pallas_kernels import (ba_resid_jac_gathered,
@@ -753,7 +760,7 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
                              opts.optimize_principal_point)
         for m in scene.cam_model_id])
 
-    fast_path = ba_fast_path_ok(scene) and not opts.optimize_rig_poses
+    fast_path = ba_fast_path_ok(scene)
 
     # sensor-pose optimization (reference optimize_rig_poses): only
     # non-reference sensors move

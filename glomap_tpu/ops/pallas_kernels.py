@@ -130,7 +130,12 @@ def xy_from_rows(M, bt, X):
 
 
 def _projection_kernel(M_ref, S_ref, b_ref, X_ref, uv_ref, k_ref,
-                       base_ref, r_ref, J_ref):
+                       base_ref, r_ref, J_ref, *, zdim: int = 25,
+                       ts_ref=None):
+    """zdim 25: [w(3) dt(3) dX(3) intr(16)]; zdim 31 additionally fills
+    the sensor-pose columns [ws(3) dts(3)] (optimize_rig): with
+    y = R_f X + t_f,  dp/dws = -R_s [y]x = (S e_k) x (p - t_s)  and
+    dp/dt_s = I — ts_ref supplies the (3, O) sensor-translation rows."""
     M = M_ref[...]
     S = S_ref[...]
     bt = b_ref[...]
@@ -202,11 +207,11 @@ def _projection_kernel(M_ref, S_ref, b_ref, X_ref, uv_ref, k_ref,
     g11 = fy * (Dyx * G2xy + Dyy * G2yy)
 
     def writeJ(col, e0, e1, e2):
-        """column `col` of the (2,25) Jacobian from dp/dtheta = (e0,e1,e2)."""
+        """column `col` of the (2,zdim) Jacobian from dp/dth = (e0,e1,e2)."""
         dx = iz * (e0 - x * e2)
         dy = iz * (e1 - y * e2)
         J_ref[col, :] = g00 * dx + g01 * dy
-        J_ref[25 + col, :] = g10 * dx + g11 * dy
+        J_ref[zdim + col, :] = g10 * dx + g11 * dy
 
     # d p / d t_f = R_s  (columns of S)
     writeJ(3, S[0], S[3], S[6])
@@ -239,44 +244,62 @@ def _projection_kernel(M_ref, S_ref, b_ref, X_ref, uv_ref, k_ref,
     #   sx1 (13): (fx r2, 0); sy1 (14): (0, fy r2)
     #   omega (15): FOV base-map sensitivity through the distortion chain
     J_ref[9, :] = du
-    J_ref[25 + 9, :] = zero
+    J_ref[zdim + 9, :] = zero
     J_ref[10, :] = zero
-    J_ref[25 + 10, :] = dv
+    J_ref[zdim + 10, :] = dv
     J_ref[11, :] = one
-    J_ref[25 + 11, :] = zero
+    J_ref[zdim + 11, :] = zero
     J_ref[12, :] = zero
-    J_ref[25 + 12, :] = one
+    J_ref[zdim + 12, :] = one
     fxu = fx * u * iden
     fyv = fy * v * iden
     rp = one
     for s in range(4):  # k1..k4
         rp = rp * r2
         J_ref[13 + s, :] = fxu * rp
-        J_ref[25 + 13 + s, :] = fyv * rp
+        J_ref[zdim + 13 + s, :] = fyv * rp
     rp = one
     for s in range(3):  # d1..d3
         rp = rp * r2
         J_ref[17 + s, :] = -fxu * radial * rp
-        J_ref[25 + 17 + s, :] = -fyv * radial * rp
+        J_ref[zdim + 17 + s, :] = -fyv * radial * rp
     J_ref[20, :] = fx * xy2
-    J_ref[25 + 20, :] = fy * (r2 + 2.0 * v * v)
+    J_ref[zdim + 20, :] = fy * (r2 + 2.0 * v * v)
     J_ref[21, :] = fx * (r2 + 2.0 * u * u)
-    J_ref[25 + 21, :] = fy * xy2
+    J_ref[zdim + 21, :] = fy * xy2
     J_ref[22, :] = fx * r2
-    J_ref[25 + 22, :] = zero
+    J_ref[zdim + 22, :] = zero
     J_ref[23, :] = zero
-    J_ref[25 + 23, :] = fy * r2
+    J_ref[zdim + 23, :] = fy * r2
     # d(du,dv)/domega = D * (x, y) * da/dw  (zero unless FOV)
     du_dw = x * da_dw
     dv_dw = y * da_dw
     J_ref[24, :] = fx * (Dxx * du_dw + Dxy * dv_dw)
-    J_ref[25 + 24, :] = fy * (Dyx * du_dw + Dyy * dv_dw)
+    J_ref[zdim + 24, :] = fy * (Dyx * du_dw + Dyy * dv_dw)
+
+    if zdim > 25:
+        # sensor-pose columns (optimize_rig): dp/dws_k = (S e_k) x a
+        # with a = p - t_s;  dp/dt_s = e_k
+        ts = ts_ref[...]
+        a0 = p0 - ts[0]
+        a1 = p1c - ts[1]
+        a2 = p2c - ts[2]
+        for k in range(3):
+            s0, s1, s2 = S[k], S[3 + k], S[6 + k]  # column k of S
+            writeJ(25 + k,
+                   s1 * a2 - s2 * a1,
+                   s2 * a0 - s0 * a2,
+                   s0 * a1 - s1 * a0)
+        writeJ(28, one, zero, zero)
+        writeJ(29, zero, one, zero)
+        writeJ(30, zero, zero, one)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def projection_resid_jac(Mrow, Srow, brow, Xrow, uvrow, krow, kindrow,
-                         interpret: bool = False):
-    """Transposed inputs (k, O) -> (r (2, O), J (50, O)); all kinds.
+                         tsrow=None, interpret: bool = False):
+    """Transposed inputs (k, O) -> (r (2, O), J (2*zdim, O)); all kinds.
+    zdim = 25, or 31 with sensor-pose columns when tsrow (3, O) is given.
 
     The transcendental base-map scalars (atan/tan have no Mosaic
     lowering) are computed here in XLA and streamed into the kernel as
@@ -288,21 +311,34 @@ def projection_resid_jac(Mrow, Srow, brow, Xrow, uvrow, krow, kindrow,
 
     x, y = xy_from_rows(Mrow, brow, Xrow)
     baserow = projection_base_rows(x, y, krow[15], kindrow[0])
+    zdim = 25 if tsrow is None else 31
 
     def spec(k):
         return pl.BlockSpec((k, blk), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [spec(9), spec(9), spec(3), spec(3), spec(2), spec(16),
+                spec(3)]
+    operands = [Mrow, Srow, brow, Xrow, uvrow, krow, baserow]
+    if tsrow is not None:
+        in_specs.append(spec(3))
+        operands.append(tsrow)
+
+        def kern(M, S, b, X, uv, k, base, ts, r, J):
+            _projection_kernel(M, S, b, X, uv, k, base, r, J,
+                               zdim=31, ts_ref=ts)
+    else:
+        kern = _projection_kernel
+
     return pl.pallas_call(
-        _projection_kernel,
+        kern,
         grid=grid,
-        in_specs=[spec(9), spec(9), spec(3), spec(3), spec(2), spec(16),
-                  spec(3)],
-        out_specs=[spec(2), spec(50)],
+        in_specs=in_specs,
+        out_specs=[spec(2), spec(2 * zdim)],
         out_shape=[jax.ShapeDtypeStruct((2, O), dtype),
-                   jax.ShapeDtypeStruct((50, O), dtype)],
+                   jax.ShapeDtypeStruct((2 * zdim, O), dtype)],
         interpret=interpret,
-    )(Mrow, Srow, brow, Xrow, uvrow, krow, baserow)
+    )(*operands)
 
 
 def perspective_resid_jac(Mrow, Srow, brow, Xrow, uvrow, krow,

@@ -286,7 +286,7 @@ def build_partitioned_ba_inputs(scene: Scene, tracks: Tracks, num_parts: int,
         optimize_rig=bool(opts.optimize_rig_poses),
         num_sensors=num_sensors,
         point_width=point_width, frame_width=frame_width,
-        fast_path=ba_fast_path_ok(scene) and not opts.optimize_rig_poses,
+        fast_path=ba_fast_path_ok(scene),
     )
     return params, obs, statics, plan
 

@@ -49,6 +49,42 @@ def _fiedler_split(nodes, ei, ej, w):
     remap[nodes] = np.arange(n)
     a = remap[ei]
     b = remap[ej]
+
+    # A disconnected subgraph has a multi-dimensional null space and the
+    # second eigenvector is an arbitrary rotation inside it — NOT the
+    # Fiedler vector (one isolated frame was enough to produce a 22% cut
+    # on a path graph). Pack whole components into two balanced sides
+    # first; spectral bisection only ever sees a connected graph.
+    from scipy.sparse.csgraph import connected_components
+    A = coo_matrix((w, (a, b)), shape=(n, n))
+    ncomp, labels = connected_components(A, directed=False)
+    if ncomp > 1:
+        sizes = np.bincount(labels, minlength=ncomp)
+        order = np.argsort(-sizes)
+        side_of_comp = np.zeros(ncomp, dtype=bool)
+        tot = [0, 0]
+        for c in order:
+            pick = int(tot[1] < tot[0])
+            side_of_comp[c] = bool(pick)
+            tot[pick] += int(sizes[c])
+        if max(tot) <= 0.6 * n:
+            return side_of_comp[labels]
+        # a single giant component + crumbs: split the giant spectrally
+        # and sprinkle the crumbs onto the smaller side afterwards
+        giant = order[0]
+        sel_nodes = np.nonzero(labels == giant)[0]
+        sub = (labels[a] == giant) & (labels[b] == giant)
+        side_giant = _fiedler_split(nodes[sel_nodes], ei[sub], ej[sub],
+                                    w[sub])
+        side = np.zeros(n, dtype=bool)
+        side[sel_nodes] = side_giant
+        crumbs = np.nonzero(labels != giant)[0]
+        # alternate crumbs to keep exact balance
+        half = n // 2
+        need = half - int(side.sum())
+        side[crumbs[:max(need, 0)]] = True
+        return side
+
     L = coo_matrix((np.concatenate([-w, -w]),
                     (np.concatenate([a, b]), np.concatenate([b, a]))),
                    shape=(n, n)).tocsr()
@@ -58,16 +94,27 @@ def _fiedler_split(nodes, ei, ej, w):
     if n <= 3:
         fiedler = np.arange(n, dtype=np.float64)
     else:
+        # deterministic start vector: eigsh otherwise seeds from the
+        # global RNG and different processes would compute DIFFERENT
+        # partitions of the same graph (multi-host runs upload only
+        # their local shards, so all hosts must agree bit-for-bit)
+        v0 = np.random.default_rng(12345).standard_normal(n)
+        fiedler = None
         try:
-            # deterministic start vector: eigsh otherwise seeds from the
-            # global RNG and different processes would compute DIFFERENT
-            # partitions of the same graph (multi-host runs upload only
-            # their local shards, so all hosts must agree bit-for-bit)
-            v0 = np.random.default_rng(12345).standard_normal(n)
-            vals, vecs = eigsh(L, k=2, which="SM", maxiter=5000, v0=v0)
+            # shift-invert mode: factorize once, converge in a few
+            # Lanczos steps — plain which="SM" stalls beyond ~5k nodes
+            # (observed at 10k frames: fell to the random fallback and
+            # produced a 75% edge cut)
+            vals, vecs = eigsh(L, k=2, sigma=-1e-3, which="LM",
+                               maxiter=1000, v0=v0)
             fiedler = vecs[:, np.argsort(vals)[1]]
         except Exception:
-            fiedler = np.random.default_rng(0).standard_normal(n)
+            try:
+                vals, vecs = eigsh(L, k=2, which="SM", maxiter=5000,
+                                   v0=v0)
+                fiedler = vecs[:, np.argsort(vals)[1]]
+            except Exception:
+                fiedler = np.random.default_rng(0).standard_normal(n)
     # balanced split at the median of the Fiedler vector
     thresh = np.median(fiedler)
     side = fiedler > thresh

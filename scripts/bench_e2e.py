@@ -74,7 +74,6 @@ def main():
     from glomap_tpu.math import rotation as rotm
     from glomap_tpu.math.sim3 import umeyama_alignment, apply_sim3
 
-    scene, vg, _, extra = load_checkpoint(CKPT)
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
 
     opt = GlobalMapperOptions()
@@ -82,10 +81,16 @@ def main():
     opt.skip_view_graph_calibration = True  # priors present
     opt.opt_relpose.num_hypotheses = 256
 
-    t0 = time.time()
-    tracks = GlobalMapper(opt).solve(scene, vg)
-    total = time.time() - t0
-    assert tracks is not None
+    # run twice: the first pass pays one-time remote jit compiles
+    # (minutes through the tunnel); the second measures the steady state
+    # every later scene of the same bucketed shape gets
+    for run in range(2):
+        scene, vg, _, extra = load_checkpoint(CKPT)
+        t0 = time.time()
+        tracks = GlobalMapper(opt).solve(scene, vg)
+        total = time.time() - t0
+        assert tracks is not None
+        print(f"# run {run}: {total:.1f}s", file=sys.stderr)
 
     reg = scene.frame_registered
     est_c = scene.frame_centers()[reg]

@@ -1,7 +1,8 @@
-"""Weak-scaling harness for distributed global BA.
+"""Weak-scaling harness for PARTITION-AWARE distributed global BA.
 
 Scales the synthetic problem with the device count (observations
-proportional to N) and measures LM iterations/s of the sharded solver.
+proportional to N) and measures LM iterations/s of the partitioned
+solver (points sharded by graph part, camera system psum'd).
 On a real TPU pod slice this measures ICI-collective efficiency (target:
 >=80% weak scaling, BASELINE.json); on a CPU host with
 --xla_force_host_platform_device_count it validates correctness and
@@ -29,7 +30,7 @@ def run_one(n_dev, frames_per_dev, points_per_dev):
         establish_full_tracks, find_tracks_for_problem)
     from glomap_tpu.ops.triangulation import triangulate_tracks
     from glomap_tpu.parallel import mesh as meshmod
-    from glomap_tpu.parallel.sharded_ba import solve_ba_sharded
+    from glomap_tpu.parallel.partitioned_ba import solve_ba_partitioned
     from glomap_tpu.processors.undistortion import undistort_images
     from glomap_tpu.utils.synthetic import (SyntheticOptions,
                                             synthesize_dataset)
@@ -45,16 +46,16 @@ def run_one(n_dev, frames_per_dev, points_per_dev):
         TrackEstablishmentOptions(min_num_tracks_per_view=1000))
     triangulate_tracks(scene, tracks)
 
-    mesh = meshmod.make_mesh(n_dev)
+    mesh = meshmod.make_mesh(n_dev, axis="part")
     opts = BundleAdjusterOptions(max_num_iterations=2)
     t0 = time.time()
-    solve_ba_sharded(scene, tracks, mesh, opts)  # compile + warmup
+    solve_ba_partitioned(scene, tracks, mesh, opts)  # compile + warmup
     compile_s = time.time() - t0
 
     opts = BundleAdjusterOptions(max_num_iterations=15,
                                  function_tolerance=0.0)
     t0 = time.time()
-    cost, it = solve_ba_sharded(scene, tracks, mesh, opts)
+    cost, it = solve_ba_partitioned(scene, tracks, mesh, opts)
     dt = time.time() - t0
     return dict(devices=n_dev, frames=scene.num_frames,
                 obs=int(tracks.obs_valid.sum()), lm_iters=it,

@@ -111,6 +111,44 @@ def test_mixed_kind_resid_jac_matches_autodiff():
     _check_kind_kernel_vs_autodiff(512, seed=5, kinds=[0, 1, 2])
 
 
+def test_rig_sensor_columns_match_autodiff():
+    """zdim=31 kernel variant: the sensor-pose columns [ws(3) dts(3)]
+    (optimize_rig) match the jacfwd reference."""
+    from glomap_tpu.estimators.bundle_adjustment import _resid_and_jac_v
+    from glomap_tpu.math import rotation as rotm
+
+    n = 256
+    q, ft, qs, st, cpar, X, uv = _random_pinhole_obs(n, seed=9,
+                                                     distortion=True)
+    kind = jnp.zeros(n, dtype=jnp.int32)
+    T16 = jnp.broadcast_to(jnp.eye(16), (n, 16, 16))
+    r_ref, J_ref = _resid_and_jac_v(
+        jnp.asarray(q), jnp.asarray(ft), jnp.asarray(qs), jnp.asarray(st),
+        jnp.asarray(cpar), kind, jnp.asarray(X), jnp.asarray(uv), T16, 31)
+
+    Rf = rotm.quat_to_rotmat(jnp.asarray(q))
+    Rs = rotm.quat_to_rotmat(jnp.asarray(qs))
+    M = Rs @ Rf
+    b = jnp.einsum("oij,oj->oi", Rs, jnp.asarray(ft)) + jnp.asarray(st)
+    pad = (-n) % 128
+
+    def T(a, k):
+        a2 = jnp.asarray(a).reshape(n, k).T
+        return jnp.pad(a2, ((0, 0), (0, pad))) if pad else a2
+
+    r_t, J_t = pk.projection_resid_jac(
+        T(M, 9), T(Rs, 9), T(b, 3), T(X, 3), T(uv, 2),
+        T(cpar[:, 0:16], 16), T(np.zeros(n), 1), tsrow=T(st, 3),
+        interpret=True)
+    r_k = r_t[:, :n].T
+    Jf = J_t[:, :n].T  # (O, 62)
+    J_k = jnp.stack([Jf[:, 0:31], Jf[:, 31:62]], axis=1)
+    np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_ref),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(J_k), np.asarray(J_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_huber_weight_cost_matches():
     from glomap_tpu.estimators.bundle_adjustment import (_huber_cost,
                                                          _huber_weight)
