@@ -6,12 +6,14 @@ kernels use the lane-major layout (k small components as sublanes,
 observations as 128-wide lanes) so every operation is a full-width VPU
 sweep with all intermediates resident in VMEM:
 
-  * ba_resid_jac_pinhole — fused closed-form residual + Jacobian blocks
-    (2x25 per observation: rotation tangent, translation, point,
-    intrinsics) for perspective cameras with full polynomial distortion
-    (rational radial + tangential + thin prism), the exact analytic
-    counterpart of the autodiff path in estimators/bundle_adjustment
-    (used as the BA fast path whenever every camera is kind 0).
+  * projection_resid_jac / ba_resid_jac_gathered — fused closed-form
+    residual + Jacobian blocks (2x25 per observation: rotation tangent,
+    translation, point, intrinsics; 2x31 with the optimize_rig
+    sensor-pose columns) for EVERY canonical camera kind — perspective,
+    equidistant fisheye and FOV, each with the full polynomial
+    distortion stage (rational radial + tangential + thin prism) — the
+    exact analytic counterpart of the autodiff path in
+    estimators/bundle_adjustment (the BA fast path for all models).
   * huber_weight_cost — fused robust-loss sweep r^2 -> (IRLS weight,
     cost) with per-block partial sums.
   * sampson_score — fused squared-Sampson epipolar error over match
