@@ -41,7 +41,12 @@ WEIGHT_L1 = 0
 WEIGHT_GEMAN_MCCLURE = 1
 WEIGHT_HALF_NORM = 2
 
-_DENSE_MAX_NODES = 3072
+# Dense-Cholesky ceiling for the RA normal equations. Measured on v5e:
+# cho_factor+solve takes 26/26/36/57 ms at 2048/4096/8192/12288 nodes
+# (f32, incl. per-call tunnel sync) and the (n, n) factor at 12288 is
+# 600 MB of 16 GB HBM — the dense MXU path wins by a wide margin up to
+# here (269 vs 7 IRLS iters/s at 2000 frames). Beyond this, Jacobi-PCG.
+_DENSE_MAX_NODES = 12288
 
 
 @partial(jax.jit, static_argnames=("num_frames", "max_iters", "weight_mode",

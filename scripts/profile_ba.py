@@ -1,0 +1,101 @@
+"""xprof op_profile of the global-BA LM step on the real chip.
+
+Traces a jitted 10-iteration solve of the driver-bench problem and
+prints the top fusions with their self-time and FLOPS/memory-bandwidth
+utilization — the speed-of-light accounting BASELINE.md asks for.
+Works through the tunnel (CLAUDE.md xprof note).
+
+Usage: python scripts/profile_ba.py
+"""
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+TRACE_DIR = "/tmp/glomap_ba_trace"
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
+    import bench as bench_mod
+    from glomap_tpu.estimators.bundle_adjustment import _solve_ba
+
+    data, sizes = bench_mod.build_problem()
+    args = (jnp.asarray(data["frame_quat"]), jnp.asarray(data["frame_trans"]),
+            jnp.asarray(data["cam_params"]), jnp.asarray(data["points"]),
+            jnp.asarray(data["o_frame"]), jnp.asarray(data["o_cam"]),
+            jnp.asarray(data["o_point"]), jnp.asarray(data["o_sensor_q"]),
+            jnp.asarray(data["o_sensor_t"]), jnp.asarray(data["o_kind"]),
+            jnp.asarray(data["o_uv"]), jnp.asarray(data["cam_T"]),
+            jnp.asarray(data["o_w"]), jnp.asarray(data["frame_mask"]))
+    fast = bool((data["cam_params"][:, 4:16] == 0).all())
+
+    def run(n):
+        out = _solve_ba(*args, num_frames=sizes["num_frames"],
+                        num_cams=sizes["num_cams"],
+                        num_points=sizes["num_points"],
+                        huber_delta=1.0, function_tol=0.0, max_iters=n,
+                        cg_iters=30, optimize_points=True, fast_path=fast,
+                        point_width=sizes["point_width"],
+                        frame_width=sizes["frame_width"],
+                        o_sensor=jnp.asarray(data["o_sensor"]),
+                        sensor_quat=jnp.asarray(data["sensor_quat"]),
+                        sensor_trans=jnp.asarray(data["sensor_trans"]),
+                        num_sensors=1)
+        float(out[4])
+        return out
+
+    run(1)  # compile
+    os.makedirs(TRACE_DIR, exist_ok=True)
+    with jax.profiler.trace(TRACE_DIR):
+        t0 = time.time()
+        run(10)
+        wall = time.time() - t0
+    print(f"# traced 10 LM iters in {wall:.2f}s", file=sys.stderr)
+
+    # op_profile via xprof converter (works offline on the xplane dump)
+    from xprof.convert import raw_to_tool_data as rtd
+    xplanes = sorted(glob.glob(
+        TRACE_DIR + "/**/*.xplane.pb", recursive=True))
+    raw, _ = rtd.xspace_to_tool_data([xplanes[-1]], "op_profile", {})
+    prof = json.loads(raw)
+    root = prof["byProgramExcludeIdle"]
+    tot = max(root.get("metrics", {}).get("rawTime", 1), 1)
+
+    rows = []
+
+    def walk(node, depth=0):
+        m = node.get("metrics", {})
+        if depth == 3:  # fusion leaves under by_program/program/category
+            bw = m.get("bandwidthUtils", [0])
+            rows.append((m.get("rawTime", 0), node.get("name", "?"),
+                         m.get("flops", 0.0),
+                         bw[0] if isinstance(bw, list) and bw else bw))
+            return
+        for ch in node.get("children", []):
+            walk(ch, depth + 1)
+
+    walk(root)
+    rows.sort(reverse=True)
+    print("# top fusions: self-time%  mxu-flops-util  hbm-bw-util  name",
+          file=sys.stderr)
+    for t, name, fl, bw in rows[:15]:
+        print(f"#  {100*t/tot:5.1f}%  {fl:8.4f}  {bw:8.4f}  {name[:64]}",
+              file=sys.stderr)
+    print(json.dumps({"metric": "ba_trace_wall_s_10iters",
+                      "value": round(wall, 3)}))
+
+
+if __name__ == "__main__":
+    main()
