@@ -4,14 +4,21 @@ triangulate against the current (post-BA) geometry.
 Counterpart of glomap/controllers/track_retriangulation.{h,cc}
 (RetriangulateTracks): the reference converts to colmap, wipes points,
 runs IncrementalMapper::TriangulateImage per image + CompleteAndMergeTracks
-and colmap BA refinement rounds. In the flat-array design the transitive
-match closure (union-find over ALL inlier matches) already performs
-complete+merge, so retriangulation becomes: re-establish full tracks ->
-batched per-track two-view RANSAC triangulation (colmap
-EstimateTriangulation counterpart) -> reprojection / min-angle acceptance
-(tri_complete_max_reproj_error = 15 px, tri_min_angle = 1 deg) -> one
-clean re-triangulation round. BA refinement runs in the caller
-(controllers/global_mapper.py stage 7), mirroring the reference.
+and colmap BA refinement rounds. The flat-array design achieves the same
+coverage with:
+  * GENERATIONAL track building — the union-find closure per generation
+    is restricted to keypoints not yet explained by an accepted point,
+    so components fused by outlier matches split (the bridge match drops
+    out once one endpoint is explained) instead of dying wholesale;
+  * per-track two-view RANSAC triangulation (colmap
+    EstimateTriangulation counterpart) + reprojection / min-angle
+    acceptance (tri_complete_max_reproj_error = 15 px, tri_min_angle);
+  * two completion passes (colmap CompleteAndMergeTracks role):
+    in-place re-validation of masked observations the refined geometry
+    explains, and match-graph attachment of keypoints whose
+    correspondences land in an accepted track.
+BA refinement rounds run in the caller (controllers/global_mapper.py
+stage 7) with the reference's <0.05%-change exit.
 """
 
 from __future__ import annotations
@@ -90,7 +97,6 @@ def complete_tracks_from_matches(scene: Scene, vg: ViewGraph,
     #observations added."""
     import jax
     from glomap_tpu.math import rotation as rotm
-    from glomap_tpu.ops import camera_models as cmod
     from glomap_tpu.processors.track_filter import _img_from_cam_jit
 
     use = vg.pair_valid[vg.match_pair] & vg.match_inlier

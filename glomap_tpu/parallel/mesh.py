@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "obs") -> Mesh:

@@ -56,8 +56,6 @@ class PartitionedGP:
         part_of = np.zeros(max(T, 1), dtype=np.int64)
         loc_of[plan.point_ids] = plan.point_local
         part_of[plan.point_ids] = plan.point_part
-        self._loc_of = loc_of
-        self._part_of = part_of
 
         obs_part = part_of[o_point]
         o_local = loc_of[o_point].astype(np.int32)

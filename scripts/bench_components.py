@@ -34,8 +34,10 @@ def prepare():
     deg = 20
     q_gt = rng.standard_normal((F, 4))
     q_gt /= np.linalg.norm(q_gt, axis=1, keepdims=True)
+    # sequential-capture locality (no wraparound: wrap edges would
+    # unbound the windowed-matvec block spans, as on real captures)
     fi = np.repeat(np.arange(F), deg)
-    fj = (fi + rng.integers(1, 30, size=len(fi))) % F
+    fj = np.minimum(fi + rng.integers(1, 30, size=len(fi)), F - 1)
     keep = fi != fj
     fi, fj = fi[keep], fj[keep]
     q_rel = np.asarray(rotm.quat_mul(q_gt[fj], rotm.quat_conj(q_gt[fi])))
@@ -120,18 +122,28 @@ def main():
     valid = jnp.ones((E,), bool)
     sigma = float(np.deg2rad(5.0))
 
-    def run_ra(use_dense):
+    from glomap_tpu.estimators.rotation_averaging import (
+        build_sorted_edge_ops)
+    sops = build_sorted_edge_ops(d["ra_fi"], d["ra_fj"]) or {}
+    sops_d = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+              for k, v in sops.items()}
+
+    def run_ra(use_dense, extra=None):
+        kw = dict(extra or {})
+
         def f():
             q, it = _irls_phase(q0, fi, fj, qrel, ones, valid, 0, F,
                                 max_iters=32, weight_mode=WEIGHT_GEMAN_MCCLURE,
                                 sigma_rad=sigma, conv_thresh=0.0,
-                                use_dense=use_dense, min_iters=32)
+                                use_dense=use_dense, min_iters=32, **kw)
             float(q[0, 0])  # hard sync through the tunnel
             return it
         return f
 
     ra_dense = bench(run_ra(True), "RA dense", lambda it: int(it))
-    ra_pcg = bench(run_ra(False), "RA pcg", lambda it: int(it))
+    ra_pcg = bench(run_ra(False), "RA pcg scatter", lambda it: int(it))
+    ra_pcg_win = bench(run_ra(False, sops_d), "RA pcg windowed",
+                       lambda it: int(it))
 
     # --- GP ---
     gp_frame = jnp.asarray(d["gp_frame"])
@@ -167,7 +179,12 @@ def main():
         "metric": "rotation_averaging_iters_per_s_pcg",
         "value": round(ra_pcg, 2),
         "unit": f"IRLS iterations/s ({F} frames, {E} edges, f32, "
-                "Jacobi-PCG >3072-frame path)"}))
+                "Jacobi-PCG scatter-add matvec)"}))
+    print(json.dumps({
+        "metric": "rotation_averaging_iters_per_s_pcg_windowed",
+        "value": round(ra_pcg_win, 2),
+        "unit": f"IRLS iterations/s ({F} frames, {E} edges, f32, "
+                "Jacobi-PCG windowed-kernel matvec)"}))
     print(json.dumps({
         "metric": "global_positioning_iters_per_s",
         "value": round(gp_rate, 2),
