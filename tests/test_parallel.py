@@ -233,3 +233,35 @@ def test_mapper_end_to_end_on_device_mesh():
     s, R, t = umeyama_alignment(c, gt_c)
     err = np.linalg.norm(s * c @ R.T + t - gt_c, axis=1)
     assert err.max() < 0.05
+
+
+@__import__("pytest").mark.slow
+def test_partitioned_gp_rig_paths():
+    """The partitioned GP flow covers the rig-offset annealing and the
+    unknown-sensor alternation branches (parallel/partitioned_gp via
+    estimators/global_positioning._solve_partitioned_flow)."""
+    from glomap_tpu.config import GlobalPositionerOptions
+    from glomap_tpu.estimators.global_positioning import (
+        solve_global_positioning)
+    from tests.test_global_positioning import _center_errors, _prepare
+
+    mesh = meshmod.make_mesh(8, axis="part")
+
+    # known rig offsets -> the anneal + scale-grid branch
+    scene, vg, tracks, gt = _prepare(
+        SyntheticOptions(num_frames_per_rig=10, num_cameras_per_rig=2,
+                         num_points3D=250, seed=17))
+    assert solve_global_positioning(scene, vg, tracks,
+                                    GlobalPositionerOptions(), mesh=mesh)
+    assert _center_errors(scene, gt).max() < 1e-3
+
+    # unknown sensors -> the local sensor-GN alternation branch
+    scene, vg, tracks, gt = _prepare(
+        SyntheticOptions(num_frames_per_rig=10, num_cameras_per_rig=2,
+                         num_points3D=250, seed=18))
+    unk = ~scene.sensor_is_ref
+    scene.sensor_known[unk] = False
+    scene.sensor_trans[unk] = 0.0
+    assert solve_global_positioning(scene, vg, tracks,
+                                    GlobalPositionerOptions(), mesh=mesh)
+    assert _center_errors(scene, gt).max() < 1e-2
