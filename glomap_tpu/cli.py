@@ -62,7 +62,12 @@ def _apply_dotted_flags(opt, unknown_args):
         try:
             cfg.set_option(opt, name, value)
         except AttributeError:
-            print(f"warning: unknown option --{name}", file=sys.stderr)
+            # the reference's boost::program_options rejects unknown
+            # options outright (option_manager.cc Parse) — a typo'd flag
+            # must not silently run with defaults
+            print(f"error: unrecognised option '--{name}'",
+                  file=sys.stderr)
+            raise SystemExit(2)
     return opt
 
 

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache
 
 import numpy as np
 import jax
@@ -305,6 +305,35 @@ def _comm_volume_bytes(statics, itemsize: int) -> int:
     return n * itemsize
 
 
+@lru_cache(maxsize=32)
+def _partitioned_ba_fn(mesh, axis: str, statics_items: tuple):
+    """Memoized shard_map-wrapped solver: rebuilding the closure per call
+    would miss jax's dispatch cache and pay the full (remote) compile on
+    EVERY solve — the staged-BA loop calls this 6+ times per mapper run.
+    Keyed on the (hashable) mesh + static solver config."""
+    from glomap_tpu.estimators.bundle_adjustment import _solve_ba
+    stat = dict(statics_items)
+
+    def body(points, o_frame, o_cam, o_point, o_sensor, o_kind, o_uv, o_w,
+             o_sq, o_st, fq, ft, cp, cam_kind, cam_T, frame_mask, sq, st,
+             sm):
+        fqo, fto, cpo, X, cost, it, sqo, sto = _solve_ba(
+            fq, ft, cp, points[0],
+            o_frame[0], o_cam[0], o_point[0], o_sq[0], o_st[0],
+            o_kind[0], o_uv[0], cam_T, o_w[0], frame_mask,
+            o_sensor=o_sensor[0], sensor_quat=sq, sensor_trans=st,
+            sensor_mask=sm, cam_kind=cam_kind, mesh_axis=axis, **stat)
+        return fqo, fto, cpo, X[None], cost, it, sqo, sto
+
+    sharded = P(axis)
+    repl = P()
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(sharded,) * 10 + (repl,) * 9,
+        out_specs=(repl, repl, repl, sharded, repl, repl, repl, repl),
+        check_vma=False))
+
+
 def solve_ba_partitioned(scene: Scene, tracks: Tracks, mesh,
                          opts: BundleAdjusterOptions | None = None,
                          dtype=jnp.float32, return_arrays: bool = False):
@@ -329,26 +358,10 @@ def solve_ba_partitioned(scene: Scene, tracks: Tracks, mesh,
         100.0 * plan.cut_fraction,
         _comm_volume_bytes(statics, np.dtype(dtype).itemsize) / 1e6)
 
-    stat = dict(statics)
-
-    def body(points, o_frame, o_cam, o_point, o_sensor, o_kind, o_uv, o_w,
-             o_sq, o_st, fq, ft, cp, cam_kind, cam_T, frame_mask, sq, st,
-             sm):
-        fqo, fto, cpo, X, cost, it, sqo, sto = _solve_ba(
-            fq, ft, cp, points[0],
-            o_frame[0], o_cam[0], o_point[0], o_sq[0], o_st[0],
-            o_kind[0], o_uv[0], cam_T, o_w[0], frame_mask,
-            o_sensor=o_sensor[0], sensor_quat=sq, sensor_trans=st,
-            sensor_mask=sm, cam_kind=cam_kind, mesh_axis=axis, **stat)
-        return fqo, fto, cpo, X[None], cost, it, sqo, sto
-
+    fn = _partitioned_ba_fn(mesh, axis,
+                            tuple(sorted(statics.items())))
     sharded = P(axis)
     repl = P()
-    fn = shard_map(
-        body, mesh=mesh,
-        in_specs=(sharded,) * 10 + (repl,) * 9,
-        out_specs=(repl, repl, repl, sharded, repl, repl, repl, repl),
-        check_vma=False)
 
     # multi-process safe upload: each host materializes only its shards
     from glomap_tpu.parallel.multihost import fetch_global, put_global

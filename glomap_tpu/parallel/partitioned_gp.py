@@ -47,6 +47,7 @@ class PartitionedGP:
         self.num_frames = num_frames
         Pn = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         self.plan = partition_points(scene, tracks, Pn, o_point, o_frame)
+        self._fn_cache = {}
         plan = self.plan
         self.Tmax = plan.points_per_part
         self.Pn = Pn
@@ -125,21 +126,30 @@ class PartitionedGP:
         X0_parts = self._scatter_points(np.asarray(X0, np.float64))
         axis = self.axis
 
-        def body(c0_l, X0_l, of, op, tT, uT, ow, ci, cj, tccT, cw):
-            c, X, cost, it = _solve_gp(
-                c0_l, X0_l[0], of[0], op[0], tT[0], uT[0], ow[0],
-                ci[0], cj[0], tccT[0], cw[0],
-                self.num_frames, self.Tmax,
-                float(huber_delta), float(function_tol),
-                int(max_iters), int(cg_iters),
-                point_width=self.point_width, mesh_axis=axis)
-            return c, X[None], cost, it
+        # memoize the shard_map wrapper per static solver config: a
+        # fresh closure per call would miss jax's dispatch cache and pay
+        # the full (remote) compile on every anneal/alternation round
+        key = (float(huber_delta), float(function_tol), int(max_iters),
+               int(cg_iters))
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            def body(c0_l, X0_l, of, op, tT, uT, ow, ci, cj, tccT, cw):
+                c, X, cost, it = _solve_gp(
+                    c0_l, X0_l[0], of[0], op[0], tT[0], uT[0], ow[0],
+                    ci[0], cj[0], tccT[0], cw[0],
+                    self.num_frames, self.Tmax,
+                    key[0], key[1], key[2], key[3],
+                    point_width=self.point_width, mesh_axis=axis)
+                return c, X[None], cost, it
 
+            sh = P(axis)
+            rp = P()
+            fn = jax.jit(shard_map(
+                body, mesh=self.mesh, in_specs=(rp,) + (sh,) * 10,
+                out_specs=(rp, sh, rp, rp), check_vma=False))
+            self._fn_cache[key] = fn
         sh = P(axis)
         rp = P()
-        fn = shard_map(body, mesh=self.mesh,
-                       in_specs=(rp,) + (sh,) * 10,
-                       out_specs=(rp, sh, rp, rp), check_vma=False)
         dt = self.dtype
         _ps = lambda a, d=dt: put_global(np.asarray(a, d), self.mesh, sh)
         _pr = lambda a, d=dt: put_global(np.asarray(a, d), self.mesh, rp)

@@ -67,3 +67,22 @@ def test_cli_rotation_averager(tmp_path):
                           rotm.quat_conj(jnp.asarray(q_gt)[jj]))
     err = np.degrees(np.asarray(rotm.relative_quat_angle_rad(rel_e, rel_g)))
     assert err.max() < 1e-4
+
+
+def test_cli_rejects_unknown_flags():
+    """A typo'd dotted flag exits with an error instead of silently
+    running with defaults (reference boost::program_options behavior)."""
+    from glomap_tpu.cli import _apply_dotted_flags
+    from glomap_tpu.config import GlobalMapperOptions
+
+    with pytest.raises(SystemExit):
+        _apply_dotted_flags(GlobalMapperOptions(),
+                            ["--BundleAdjustment.max_num_iterationz=5"])
+    # valid flags still apply
+    opt = _apply_dotted_flags(
+        GlobalMapperOptions(),
+        ["--BundleAdjustment.max_num_iterations=5",
+         "--Thresholds.max_epipolar_error_E=2.0",
+         "--GlobalPositioning.use_gpu=1"])
+    assert opt.opt_ba.max_num_iterations == 5
+    assert opt.inlier_thresholds.max_epipolar_error_E == 2.0
