@@ -208,24 +208,40 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
     # through the Pallas blocked local-one-hot kernel — O(O * width)
     # work independent of n_seg, the city-scale path. Unsorted + over
     # budget falls back to per-row 1-D segment sums.
-    from glomap_tpu.ops.segment_ops import make_axis_ops as _mao
+    from glomap_tpu.ops.segment_ops import make_axis_pair_ops as _mao
 
     def make_axis_ops(idx, n_seg, sorted_width: int = 0, psum: bool = True):
-        """See ops/segment_ops.make_axis_ops (shared with GP)."""
+        """See ops/segment_ops.make_axis_pair_ops (shared with GP)."""
         return _mao(idx, n_seg, num_obs, dtype, sorted_width,
                     one_hot_budget,
                     psum_axis=mesh_axis if psum else None)
 
     # point-axis traffic is LOCAL under partition sharding: observations
     # are co-located with their point's shard (parallel/partitioned_ba)
-    reduce_f, gather_f = make_axis_ops(o_frame, num_frames, frame_width)
-    reduce_c, gather_c = make_axis_ops(o_cam, num_cams)
-    reduce_p, gather_p = make_axis_ops(o_point, num_points, point_width,
-                                       psum=False)
+    reduce_f, gather_f, rpairs_f, gdot_f = make_axis_ops(
+        o_frame, num_frames, frame_width)
+    reduce_c, gather_c, rpairs_c, gdot_c = make_axis_ops(o_cam, num_cams)
+    reduce_p, gather_p, rpairs_p, gdot_p = make_axis_ops(
+        o_point, num_points, point_width, psum=False)
     if optimize_rig:
-        reduce_s, gather_s = make_axis_ops(o_sensor, num_sensors)
+        reduce_s, gather_s, rpairs_s, gdot_s = make_axis_ops(
+            o_sensor, num_sensors)
     else:
-        reduce_s = gather_s = None
+        reduce_s = gather_s = rpairs_s = gdot_s = None
+
+    def jt_pairs(n):
+        """J^T y rows for J as a (2n, O) row stack, y (2, O)."""
+        return tuple(((i, 0), (n + i, 1)) for i in range(n))
+
+    def gram_pairs(n, m):
+        """out[i*m+j] = sum_r A[r,i] B[r,j] for (2n, O) x (2m, O)."""
+        return tuple(((i, j), (n + i, m + j))
+                     for i in range(n) for j in range(m))
+
+    def corr_pairs(k):
+        """E[i*k+l] = sum_m D[i*3+m] C[l*3+m] (Schur correction)."""
+        return tuple(tuple((i * 3 + m, l * 3 + m) for m in range(3))
+                     for i in range(k) for l in range(k))
 
     def psum_scalar(x):
         return jax.lax.psum(x, mesh_axis) if mesh_axis is not None else x
@@ -266,8 +282,8 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         n_sens_t = max(num_sensors, 1)
         o_fs = o_frame * n_sens_t + o_sensor
         # frame window of span w covers an fs window of span w * S
-        _, gather_fs = make_axis_ops(o_fs, num_frames * n_sens_t,
-                                     frame_width * n_sens_t)
+        gather_fs = make_axis_ops(o_fs, num_frames * n_sens_t,
+                                  frame_width * n_sens_t)[1]
         uvT_const = o_uv.T  # (2, O), constant
 
     def _persp_rows(fq, ft, sq, st, cp, X):
@@ -414,6 +430,12 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         Jc = J3[:, 9:25]            # (2, 16, O)
         if optimize_rig:
             Js = J3[:, 25:31] * sm_o
+        # flat (2k, O) views feed the fused pair kernels (free reshapes)
+        Jf2 = Jf.reshape(12, num_obs)
+        Jp2 = Jp.reshape(6, num_obs)
+        Jc2 = Jc.reshape(32, num_obs)
+        if optimize_rig:
+            Js2 = Js.reshape(12, num_obs)
 
         # per-camera tie matrices (constant): post-reduction application
         T_t = jnp.swapaxes(cam_T, -1, -2)  # (C, 16, 16)
@@ -453,17 +475,18 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
 
         wrT = rT * sw  # whitened residual (2, O)
 
-        g_f = reduce_f(jt(Jf, wrT))
-        g_c = tie_g(reduce_c(jt(Jc, wrT)))
-        g_p = reduce_p(jt(Jp, wrT))
+        g_f = rpairs_f(Jf2, wrT, jt_pairs(6))
+        g_c = tie_g(rpairs_c(Jc2, wrT, jt_pairs(16)))
+        g_p = rpairs_p(Jp2, wrT, jt_pairs(3))
         if optimize_rig:
-            g_s = reduce_s(jt(Js, wrT))
+            g_s = rpairs_s(Js2, wrT, jt_pairs(6))
 
-        # block diagonals (whitened rows: no extra w factor)
-        B_f = reduce_f(jnp.stack(rows_mm(Jf, Jf, 6, 6))).reshape(
+        # block diagonals (whitened rows: no extra w factor); the fused
+        # pair kernels form the Gram rows in VMEM — no (k*k, O) HBM stack
+        B_f = rpairs_f(Jf2, Jf2, gram_pairs(6, 6)).reshape(
             num_frames, 6, 6)
         B_c = tie_B(cam_block_16(Jc, Jc))
-        B_p = reduce_p(jnp.stack(rows_mm(Jp, Jp, 3, 3))).reshape(
+        B_p = rpairs_p(Jp2, Jp2, gram_pairs(3, 3)).reshape(
             num_points, 3, 3)
 
         def damp(B, eye, floor):
@@ -483,6 +506,15 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         Bp_inv = inv3x3(B_p_d) if optimize_points else \
             jnp.broadcast_to(eye3, B_p_d.shape)
 
+        # CG-loop operators stay on the COMPOSED ops (gather + einsum /
+        # elementwise + rowsum): at CG scales the step is dispatch-latency
+        # bound (BENCH_NOTES speed-of-light note) and an A/B on the v5e
+        # measured the fused pair kernels ~6% slower here — each
+        # pallas_call carries a window postlude that outweighs the one
+        # fused elementwise op it saves, and XLA fuses the composition
+        # fine. The fused kernels earn their keep on the once-per-LM
+        # block builds below, where they delete whole (k*k, O) HBM
+        # stacks.
         def J_apply(vf, vc, vs):
             """camera-side direction -> whitened per-obs 2-vector (2, O)"""
             vct = jnp.einsum("cij,cj->ci", cam_T, vc)  # tie first
@@ -529,18 +561,28 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
                 else jnp.zeros((num_sensors, 6), dtype)
             return vf, vc, vs
 
+        # damping is diagonal-only (damp() adds (lam*diag + floor)*eye),
+        # so the matvec applies it as an elementwise product — no dense
+        # (n, 6, 6) temporaries inside the CG loop
+        d_f = lam * jnp.diagonal(B_f, axis1=-2, axis2=-1) + 1e-8
+        d_c = lam * jnp.diagonal(B_c, axis1=-2, axis2=-1) + 1e-6
+        if optimize_rig:
+            d_s = lam * jnp.diagonal(B_s, axis1=-2, axis2=-1) + 1e-8
+
         def schur_mv(v):
             vf, vc, vs = unpack(v)
             # H_cc v (includes frame-intrinsic-sensor cross terms)
             y = J_apply(vf, vc, vs)
             out_f, out_c, out_s = JT_scatter(y)
-            # damping contribution (damp only block diagonals)
-            out_f = out_f + jnp.einsum("fij,fj->fi", B_f_d - B_f, vf)
-            out_c = out_c + jnp.einsum("cij,cj->ci", B_c_d - B_c, vc)
+            # damping contribution (block diagonals only)
+            out_f = out_f + d_f * vf
+            out_c = out_c + d_c * vc
             if optimize_rig:
-                out_s = out_s + jnp.einsum("sij,sj->si", B_s_d - B_s, vs)
-            # minus H_cp Bp_inv H_pc v
-            zp = jnp.einsum("tij,tj->ti", Bp_inv, Hpc_apply(vf, vc, vs))
+                out_s = out_s + d_s * vs
+            # minus H_cp Bp_inv H_pc v; H_pc v reuses y = J v (the Pallas
+            # segment kernels are custom calls XLA will not CSE, so the
+            # second J_apply the naive formula implies would run for real)
+            zp = jnp.einsum("tij,tj->ti", Bp_inv, reduce_p(jt(Jp, y)))
             cf, cc, cs = Hcp_apply(zp)
             if optimize_rig:
                 return pack(out_f - cf, out_c - cc, out_s - cs)
@@ -554,23 +596,23 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         # one-hot / sorted-window matmul gather (9, O).
         Bpi_o = gather_p(Bp_inv.reshape(num_points, 9))  # (9, O)
 
-        def schur_corr(Jx, k, reduce_x):
+        def schur_corr(Jx, k, rpairs_x):
             """sum_o C_o Bp_inv C_o^T for C_o = J_x^T J_p per obs:
-            rows (k*k, O) -> (n, k, k)."""
-            C = rows_mm(Jx, Jp, k, 3)  # k*3 rows
+            (n, k*k). The (3k, O) C/D stacks materialize once per LM
+            iteration; the (k*k, O) product never does — the fused pair
+            kernel contracts D against C in VMEM."""
+            C = jnp.stack(rows_mm(Jx, Jp, k, 3))  # (3k, O)
             # D[i*3+m] = sum_j C[i*3+j] Bpi[j*3+m]
-            D = [sum(C[i * 3 + j] * Bpi_o[j * 3 + m] for j in range(3))
-                 for i in range(k) for m in range(3)]
-            E = jnp.stack([sum(D[i * 3 + m] * C[l * 3 + m]
-                               for m in range(3))
-                           for i in range(k) for l in range(k)])
-            return reduce_x(E)
+            D = jnp.stack([sum(C[i * 3 + j] * Bpi_o[j * 3 + m]
+                               for j in range(3))
+                           for i in range(k) for m in range(3)])
+            return rpairs_x(D, C, corr_pairs(k))
 
         def schur_corr_cam():
             """The (16, 16) correction per camera without the (256, O)
             stack: partial-trace of per-camera (48, 48) dots."""
             if not big_cam_blocks:
-                return schur_corr(Jc, 16, reduce_c).reshape(
+                return schur_corr(Jc, 16, rpairs_c).reshape(
                     num_cams, 16, 16)
             C = jnp.stack(rows_mm(Jc, Jp, 16, 3))  # (48, O)
             D = jnp.stack([sum(C[i * 3 + j] * Bpi_o[j * 3 + m]
@@ -585,12 +627,12 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
             _, outs = jax.lax.scan(one, None, jnp.arange(num_cams))
             return psum_scalar(outs)
 
-        S_f = B_f_d - schur_corr(Jf, 6, reduce_f).reshape(num_frames, 6, 6)
+        S_f = B_f_d - schur_corr(Jf, 6, rpairs_f).reshape(num_frames, 6, 6)
         S_c = B_c_d - tie_B(schur_corr_cam())
         Bf_inv = jnp.linalg.inv(S_f)
         Bc_inv = jnp.linalg.inv(S_c)
         if optimize_rig:
-            S_s = B_s_d - schur_corr(Js, 6, reduce_s).reshape(
+            S_s = B_s_d - schur_corr(Js, 6, rpairs_s).reshape(
                 num_sensors, 6, 6)
             Bs_inv = jnp.linalg.inv(S_s)
         else:
@@ -604,8 +646,13 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
                 else None
             return pack(pf, pc, ps)
 
+        # Inexact-Newton forcing: 1e-2 relative residual (tighter than
+        # Ceres's ITERATIVE_SCHUR default eta=1e-1, solver.h) — the LM
+        # outer loop absorbs the remaining linear-solve error, and the
+        # early exit cuts the latency-bound small-op chain that dominates
+        # the step at moderate scales (BENCH_NOTES speed-of-light note).
         sol = cg_generic(schur_mv, pack(b_f, b_c, b_s), max_iters=cg_iters,
-                         tol=1e-5, precond=precond)
+                         tol=1e-2, precond=precond)
         dvf, dvc, dvs = unpack(sol)
         dvf = dvf * frame_mask
         if optimize_rig:

@@ -552,6 +552,156 @@ def block_width_for_sorted(ids: np.ndarray, block: int = 2048) -> int:
 
 
 # ----------------------------------------------------------------------------
+# fused pair-product windowed reductions (the BA CG inner loop)
+# ----------------------------------------------------------------------------
+#
+# The Schur-reduced camera-system matvec (estimators/bundle_adjustment,
+# SURVEY.md §3.5) is built from three memory-bound primitives over the
+# lane-major observation axis:
+#   reduce(J^T y):   rows[i] = J[0,i]*y[0] + J[1,i]*y[1], then windowed sum
+#   H-block builds:  rows[i*m+j] = sum_r A[r,i]*B[r,j], then windowed sum
+#   J (gather v):    out[r] = sum_j J[r,j] * v[ids][j]
+# Composing them from sorted_segment_rowsum/gather materializes every
+# intermediate row stack in HBM ((k, O) each, re-read immediately by the
+# next op) — profiled at ~30% of the BA step (BENCH_NOTES speed-of-light
+# note: concatenates + windowed ops dominate; the step is HBM/latency
+# bound). These fused variants form the product rows inside VMEM and only
+# ever touch HBM with the kernel's true inputs and outputs.
+
+
+def _pair_rowsum_kernel(ids_ref, U_ref, V_ref, part_ref, *, pairs):
+    ids = ids_ref[0, :]  # (B,) int32; block spans < W distinct ids
+    start = jnp.min(ids)
+    W = part_ref.shape[1]
+    U = U_ref[...]
+    V = V_ref[...]
+    prod = jnp.stack([sum(U[a] * V[b] for a, b in terms)
+                      for terms in pairs])  # (R, B) in VMEM only
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (W, ids.shape[0]), 0)
+          + start) == ids[None, :]
+    part_ref[0, :, :] = jax.lax.dot_general(
+        oh.astype(prod.dtype), prod,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=prod.dtype)
+
+
+@partial(jax.jit, static_argnames=("pairs", "num_segments", "width",
+                                   "block", "interpret"))
+def sorted_segment_pair_rowsum(U, V, pairs, ids, num_segments: int,
+                               width: int, block: int = 2048,
+                               interpret: bool = False):
+    """out[s, r] = sum_{o in segment s} sum_{(a, b) in pairs[r]}
+    U[a, o] * V[b, o]  — sorted_segment_rowsum with the product rows
+    formed in VMEM instead of stacked through HBM.
+
+    U (ku, O), V (kv, O) lane-major; ids (O,) int32 sorted (same window
+    contract as sorted_segment_rowsum); pairs a static tuple of tuples of
+    (a, b) index pairs. Covers J^T y reductions (pairs of one J row and
+    one y row) and Gram/Schur block builds (pairs over the residual-row
+    axis) without materializing the (R, O) stack."""
+    ku, O = U.shape
+    dtype = U.dtype
+    R = len(pairs)
+    pad = (-O) % block
+    if pad:
+        ids = jnp.concatenate([ids, jnp.broadcast_to(ids[O - 1], (pad,))])
+        U = jnp.pad(U, ((0, 0), (0, pad)))
+        V = jnp.pad(V, ((0, 0), (0, pad)))
+    nb = (O + pad) // block
+
+    parts = pl.pallas_call(
+        partial(_pair_rowsum_kernel, pairs=pairs),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ku, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((V.shape[0], block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, width, R), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, width, R), dtype),
+        interpret=interpret,
+    )(ids.reshape(1, -1), U, V)
+
+    starts = jnp.min(ids.reshape(nb, block), axis=1, keepdims=True)
+    seg = (starts + jnp.arange(width, dtype=jnp.int32)[None, :]).reshape(-1)
+    out = jax.ops.segment_sum(parts.reshape(nb * width, R), seg,
+                              num_segments=num_segments + width)
+    return out[:num_segments]
+
+
+def _gather_dot_kernel(ids_ref, U_ref, tab_ref, out_ref, *, win, k, nr):
+    ids = ids_ref[0, :]
+    start = pl.multiple_of((jnp.min(ids) // 128) * 128, 128)
+
+    def body(scratch, sem):
+        dma = pltpu.make_async_copy(tab_ref.at[:, pl.ds(start, win)],
+                                    scratch, sem)
+        dma.start()
+        dma.wait()
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (win, ids.shape[0]), 0)
+              + start) == ids[None, :]
+        rows = jax.lax.dot_general(
+            scratch[...], oh.astype(scratch.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=scratch.dtype)  # (k_pad, B) in VMEM
+        U = U_ref[...]
+        out_ref[...] = jnp.stack(
+            [sum(U[r * k + j] * rows[j] for j in range(k))
+             for r in range(nr)] + [rows[0] * 0.0] * (out_ref.shape[0] - nr))
+
+    pl.run_scoped(body,
+                  scratch=pltpu.VMEM((tab_ref.shape[0], win),
+                                     tab_ref.dtype),
+                  sem=pltpu.SemaphoreType.DMA(()))
+
+
+@partial(jax.jit, static_argnames=("width", "block", "interpret"))
+def sorted_segment_gather_dot(tab, ids, U, width: int, block: int = 2048,
+                              interpret: bool = False):
+    """out[r, o] = sum_j U[r*k + j, o] * tab[ids[o], j]  for r < nr,
+    where tab is (num_segments, k) and U is (nr*k, O) lane-major — the
+    fused J * gather(v) product (J_apply in the BA matvec) without the
+    (k, O) gathered row stack passing through HBM."""
+    T, k = tab.shape
+    nrk, O = U.shape
+    nr = nrk // k
+    dtype = tab.dtype
+    pad = (-O) % block
+    if pad:
+        ids_p = jnp.concatenate([ids,
+                                 jnp.broadcast_to(ids[O - 1], (pad,))])
+        U_p = jnp.pad(U, ((0, 0), (0, pad)))
+    else:
+        ids_p, U_p = ids, U
+    nb = (O + pad) // block
+    win = -(-(width + 128) // 128) * 128
+    k_pad = -(-k // 8) * 8
+    nr_pad = -(-nr // 8) * 8
+    tab_T = jnp.pad(tab.T, ((0, k_pad - k), (0, win)))
+
+    out = pl.pallas_call(
+        partial(_gather_dot_kernel, win=win, k=k, nr=nr),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nrk, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # full table; manual DMA
+        ],
+        out_specs=pl.BlockSpec((nr_pad, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nr_pad, O + pad), dtype),
+        interpret=interpret,
+    )(ids_p.reshape(1, -1), U_p, tab_T)
+    return out[:nr, :O]
+
+
+# ----------------------------------------------------------------------------
 # fused Huber IRLS sweep
 # ----------------------------------------------------------------------------
 

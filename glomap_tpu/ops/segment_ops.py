@@ -56,6 +56,57 @@ def make_axis_ops(idx, n_seg: int, num_obs: int, dtype,
     return reduce, gather
 
 
+def make_axis_pair_ops(idx, n_seg: int, num_obs: int, dtype,
+                       sorted_width: int = 0, one_hot_budget: int = 1 << 28,
+                       psum_axis: str | None = None):
+    """-> (reduce, gather, reduce_pairs, gather_dot).
+
+    The fused variants keep the BA CG matvec's intermediate row stacks
+    out of HBM (ops/pallas_kernels.py pair kernels):
+      reduce_pairs(U, V, pairs): (n_seg, R) with
+          out[s, r] = sum_{o in s} sum_{(a, b) in pairs[r]} U[a,o]*V[b,o]
+      gather_dot(tab, U): (nr, O) with
+          out[r, o] = sum_j U[r*k + j, o] * tab[idx[o], j]
+    On the one-hot / fallback axes they compose the same results from the
+    plain ops (XLA fuses those fine — no custom calls to defeat CSE)."""
+    reduce, gather = make_axis_ops(idx, n_seg, num_obs, dtype, sorted_width,
+                                   one_hot_budget, psum_axis)
+    if sorted_width:
+        from glomap_tpu.ops.pallas_kernels import (
+            _on_tpu, sorted_segment_gather_dot, sorted_segment_pair_rowsum)
+        interp = not _on_tpu()
+
+        def reduce_pairs_local(U, V, pairs):
+            return sorted_segment_pair_rowsum(U, V, pairs, idx, n_seg,
+                                              sorted_width,
+                                              interpret=interp)
+
+        def gather_dot(tab, U):
+            return sorted_segment_gather_dot(tab, idx, U, sorted_width,
+                                             interpret=interp)
+    else:
+        def reduce_pairs_local(U, V, pairs):
+            rows = jnp.stack([sum(U[a] * V[b] for a, b in terms)
+                              for terms in pairs])
+            return _reduce_rows_unfused(rows)
+
+        def gather_dot(tab, U):
+            rows = gather(tab)  # (k, O)
+            k = rows.shape[0]
+            nr = U.shape[0] // k
+            return jnp.einsum("rko,ko->ro",
+                              U.reshape(nr, k, U.shape[1]), rows)
+
+        _reduce_rows_unfused, _ = make_axis_ops(idx, n_seg, num_obs, dtype,
+                                                0, one_hot_budget, None)
+    if psum_axis is not None:
+        def reduce_pairs(U, V, pairs):
+            return jax.lax.psum(reduce_pairs_local(U, V, pairs), psum_axis)
+    else:
+        reduce_pairs = reduce_pairs_local
+    return reduce, gather, reduce_pairs, gather_dot
+
+
 def _make_axis_ops_local(idx, n_seg, num_obs, dtype, sorted_width,
                          one_hot_budget):
     if sorted_width:

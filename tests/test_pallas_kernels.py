@@ -209,6 +209,50 @@ def test_sorted_segment_rowsum_empty_segments_and_tail():
     np.testing.assert_allclose(out, ref)
 
 
+def test_sorted_segment_pair_rowsum_matches_composition():
+    """Fused pair-product reduction == stack + sorted_segment_rowsum."""
+    rng = np.random.default_rng(11)
+    n, t, block = 3000, 250, 512
+    ids = np.sort(rng.integers(0, t, size=n)).astype(np.int32)
+    width = pk.block_width_for_sorted(ids, block=block)
+    for ku, kv, pairs in [
+        # J^T y: rows[i] = U[i]*V[0] + U[6+i]*V[1]
+        (12, 2, tuple(((i, 0), (6 + i, 1)) for i in range(6))),
+        # Gram 3x3: rows[i*3+j] = U[i]*V[j] + U[3+i]*V[3+j]
+        (6, 6, tuple(((i, j), (3 + i, 3 + j))
+                     for i in range(3) for j in range(3))),
+        # triple-term contraction (Schur correction pattern)
+        (9, 9, tuple(tuple((i * 3 + m, l * 3 + m) for m in range(3))
+                     for i in range(3) for l in range(3))),
+    ]:
+        U = rng.standard_normal((ku, n))
+        V = rng.standard_normal((kv, n))
+        rows = np.stack([sum(U[a] * V[b] for a, b in terms)
+                         for terms in pairs])
+        ref = np.zeros((t, len(pairs)))
+        np.add.at(ref, ids, rows.T)
+        out = np.asarray(pk.sorted_segment_pair_rowsum(
+            jnp.asarray(U), jnp.asarray(V), pairs, jnp.asarray(ids), t,
+            width, block=block, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_sorted_segment_gather_dot_matches_composition():
+    """Fused J * gather(v) == sorted_segment_gather + einsum."""
+    rng = np.random.default_rng(12)
+    n, t, block = 3000, 250, 512
+    ids = np.sort(rng.integers(0, t, size=n)).astype(np.int32)
+    width = pk.block_width_for_sorted(ids, block=block)
+    for k, nr in [(6, 2), (3, 2), (16, 2)]:
+        tab = rng.standard_normal((t, k))
+        U = rng.standard_normal((nr * k, n))
+        ref = np.einsum("rko,ko->ro", U.reshape(nr, k, n), tab[ids].T)
+        out = np.asarray(pk.sorted_segment_gather_dot(
+            jnp.asarray(tab), jnp.asarray(ids), jnp.asarray(U), width,
+            block=block, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-9)
+
+
 def test_ba_point_width_path_matches_default():
     """_solve_ba with the sorted-point Pallas reducer == scatter path."""
     import jax
