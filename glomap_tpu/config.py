@@ -56,12 +56,16 @@ class ViewGraphCalibratorOptions(OptimizationBase):
 
 @dataclass
 class RelPoseEstimationOptions:
-    # PoseLib-equivalent RANSAC budget; on TPU we run fixed-size hypothesis
-    # batches instead of adaptive early exit.
-    max_iterations: int = 50000
+    # PoseLib-equivalent adaptive RANSAC budget (relpose_estimation.h:14
+    # sets ransac_options.max_iterations = 50000): hypotheses are spent
+    # in fixed-size batched chunks over the ACTIVE pairs only; a pair
+    # leaves the active set once its spent budget passes the standard
+    # stopping number log(1-conf)/log(1-r^8) for its best inlier ratio r
+    # (clamped to [num_hypotheses, max_iterations]).
+    max_iterations: int = 50000      # adaptive cap (PoseLib parity)
     max_epipolar_error: float = 1.0  # px (PoseLib default for E)
-    num_hypotheses: int = 1024       # hypotheses per batch round
-    num_rounds: int = 8              # batched rounds (~8k hypotheses total)
+    num_hypotheses: int = 1024       # per-pair minimum (PoseLib
+    #                                  min_iterations=1000 analog)
     refine_num_lm_iters: int = 10
     # hypothesis scoring/refinement uses at most this many matches per
     # pair (the FULL match set is classified afterwards by the Sampson
@@ -105,6 +109,9 @@ class GlobalPositionerOptions(OptimizationBase):
     min_num_view_per_track: int = 3
     seed: int = 1
     thres_loss_function: float = 1e-1  # Huber
+    # forcing tolerance of the inner Jacobi-PCG on the frame system
+    # (same role as BundleAdjusterOptions.cg_relative_tolerance)
+    cg_relative_tolerance: float = 1e-2
 
 
 @dataclass
@@ -118,6 +125,11 @@ class BundleAdjusterOptions(OptimizationBase):
     min_num_view_per_track: int = 3
     thres_loss_function: float = 1.0  # Huber, px
     max_num_iterations: int = 200
+    # inexact-Newton forcing tolerance of the inner CG on the reduced
+    # camera system (Ceres Solver::Options::eta; its ITERATIVE_SCHUR
+    # default is 1e-1 — we default tighter). Final cost on the bench
+    # problem is bit-identical to a 1e-5 run (BENCH_NOTES).
+    cg_relative_tolerance: float = 1e-2
 
 
 @dataclass
@@ -166,6 +178,12 @@ class GlobalMapperOptions:
 
     num_iteration_bundle_adjustment: int = 3
     num_iteration_retriangulation: int = 1
+
+    # Subsample edges of over-connected nodes to this expected degree
+    # during preprocessing (ViewGraphManipulater::SparsifyGraph,
+    # view_graph_manipulation.cc:10-68 — present but never called by the
+    # upstream pipeline either; disabled by default, set > 0 to enable).
+    sparsify_expected_degree: int = -1
 
     skip_preprocessing: bool = False
     skip_view_graph_calibration: bool = False

@@ -68,7 +68,11 @@ class GlobalMapper:
         if not opt.skip_preprocessing:
             stage("preprocessing")
             from glomap_tpu.processors.view_graph_manipulation import (
-                update_image_pairs_config, decompose_rel_pose)
+                update_image_pairs_config, decompose_rel_pose,
+                sparsify_graph)
+            if opt.sparsify_expected_degree > 0:
+                sparsify_graph(view_graph, scene,
+                               opt.sparsify_expected_degree)
             update_image_pairs_config(scene, view_graph)
             decompose_rel_pose(scene, view_graph)
 
@@ -206,14 +210,15 @@ class GlobalMapper:
         if not opt.skip_retriangulation:
             stage("retriangulation")
             from glomap_tpu.controllers.retriangulation import (
-                retriangulate_tracks)
+                merge_tracks, retriangulate_tracks)
             for _ in range(opt.num_iteration_retriangulation):
                 tracks = retriangulate_tracks(scene, view_graph, tracks,
                                               opt.opt_triangulator)
                 # refinement rounds (colmap ba_global_max_refinements
                 # loop inside track_retriangulation.cc:99-122): BA, then
-                # complete masked observations against the refined
-                # geometry, then filter; stop when <0.05% changed
+                # complete + merge tracks against the refined geometry
+                # (colmap CompleteAndMergeTracks), then filter; stop when
+                # <0.05% changed
                 for _ref in range(5):
                     if not solve_bundle_adjustment(scene, tracks,
                                                    opt.opt_ba, mesh=mesh):
@@ -222,6 +227,9 @@ class GlobalMapper:
                     changed = tf.complete_tracks(
                         scene, tracks,
                         opt.opt_triangulator.tri_complete_max_reproj_error)
+                    changed += merge_tracks(
+                        scene, view_graph, tracks,
+                        opt.opt_triangulator.tri_merge_max_reproj_error)
                     changed += tf.filter_tracks_by_reprojection(
                         scene, tracks,
                         opt.inlier_thresholds.max_reprojection_error)

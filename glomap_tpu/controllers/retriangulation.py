@@ -29,6 +29,7 @@ import numpy as np
 
 from glomap_tpu.config import TriangulatorOptions
 from glomap_tpu.controllers.track_establishment import establish_full_tracks
+from glomap_tpu.math import rotation as rotm
 from glomap_tpu.ops.triangulation import (ransac_triangulate_tracks,
                                           triangulate_tracks)
 from glomap_tpu.processors import track_filter as tf
@@ -175,6 +176,150 @@ def complete_tracks_from_matches(scene: Scene, vg: ViewGraph,
     return total_added
 
 
+def merge_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
+                 max_reproj_px: float, rounds: int = 3) -> int:
+    """Fuse track pairs that describe the same physical 3D point — the
+    MERGE half of colmap's CompleteAndMergeTracks
+    (track_retriangulation.cc:80; colmap IncrementalTriangulator::Merge):
+
+      * candidates: two DIFFERENT tracks joined by >=1 inlier two-view
+        correspondence (one endpoint keypoint explained by each);
+      * proposed merged point: track-length-weighted average of the two
+        XYZ (colmap's merged_xyz recipe);
+      * acceptance: EVERY valid observation of both tracks reprojects the
+        merged point within `max_reproj_px` (tri_merge_max_reproj_error)
+        at positive depth;
+      * accepted pairs merge greedily (a track participates in at most
+        one merge per round; colmap's recursive re-merge becomes the
+        outer rounds), observations retarget to the longer track, exact
+        duplicate (track, image, feature) rows dedupe, and the flat obs
+        arrays re-sort to the (track, image) invariant the sorted-window
+        solvers rely on.
+
+    Returns the number of observations moved by merging. Host-side
+    numpy + one jitted camera-projection call on the local CPU backend
+    (this runs between device solves; see CLAUDE.md eager-op tax)."""
+    import jax
+    from glomap_tpu.processors.track_filter import _img_from_cam_jit
+
+    if tracks.num_obs == 0 or vg.num_pairs == 0:
+        return 0
+    use = vg.pair_valid[vg.match_pair] & vg.match_inlier
+    mp = vg.match_pair[use]
+    mkp1 = scene.kp_offset[vg.pair_i[mp]] + vg.match_f1[use]
+    mkp2 = scene.kp_offset[vg.pair_j[mp]] + vg.match_f2[use]
+    q_img, t_img = scene.image_cam_from_world()
+    cpu = jax.local_devices(backend="cpu")[0]
+
+    total_moved = 0
+    for _ in range(max(rounds, 1)):
+        n_tr = tracks.num_tracks
+        ok_obs = tracks.obs_valid & tracks.valid[tracks.obs_track]
+        kp_track = np.full(scene.num_keypoints, -1, dtype=np.int64)
+        kp_idx_all = scene.kp_offset[tracks.obs_image] + tracks.obs_feature
+        kp_track[kp_idx_all[ok_obs]] = tracks.obs_track[ok_obs]
+
+        ta = kp_track[mkp1]
+        tb = kp_track[mkp2]
+        cand = (ta >= 0) & (tb >= 0) & (ta != tb)
+        if not cand.any():
+            break
+        t1 = np.minimum(ta[cand], tb[cand])
+        t2 = np.maximum(ta[cand], tb[cand])
+        pair_key = np.unique(t1 * np.int64(n_tr) + t2)
+        t1 = pair_key // n_tr
+        t2 = pair_key % n_tr
+        n_cand = len(t1)
+
+        # CSR over the valid obs rows (already track-sorted)
+        vrows = np.nonzero(ok_obs)[0]
+        o_tr = tracks.obs_track[vrows]
+        starts = np.searchsorted(o_tr, np.arange(n_tr))
+        ends = np.searchsorted(o_tr, np.arange(n_tr) + 1)
+        n1 = (ends - starts)[t1]
+        n2 = (ends - starts)[t2]
+
+        # colmap merged_xyz: track-length-weighted average
+        w1 = n1.astype(np.float64)[:, None]
+        w2 = n2.astype(np.float64)[:, None]
+        merged_xyz = (w1 * tracks.xyz[t1] + w2 * tracks.xyz[t2]) / \
+            np.maximum(w1 + w2, 1)
+
+        # flatten (candidate, observation-of-either-track) rows
+        cnt = n1 + n2
+        cum = np.concatenate([[0], np.cumsum(cnt)])
+        cand_of_row = np.repeat(np.arange(n_cand), cnt)
+        pos = np.arange(cum[-1]) - cum[cand_of_row]
+        in_first = pos < n1[cand_of_row]
+        src = np.where(in_first, starts[t1[cand_of_row]] + pos,
+                       starts[t2[cand_of_row]] + pos - n1[cand_of_row])
+        rows = vrows[src]
+
+        img = tracks.obs_image[rows]
+        cam = scene.image_camera[img]
+        X = merged_xyz[cand_of_row]
+        pt_cam = np.asarray(rotm.quat_rotate(q_img[img], X)) + t_img[img]
+        px = np.asarray(_img_from_cam_jit(
+            jax.device_put(scene.cam_params[cam], cpu),
+            jax.device_put(scene.cam_kind[cam], cpu),
+            jax.device_put(pt_cam, cpu)))
+        kp = scene.kp_offset[img] + tracks.obs_feature[rows]
+        err = np.linalg.norm(px - scene.kp_xy[kp], axis=-1)
+        row_ok = (err < max_reproj_px) & (pt_cam[:, 2] > 1e-12)
+        bad = np.zeros(n_cand, dtype=bool)
+        np.logical_or.at(bad, cand_of_row, ~row_ok)
+        acc = ~bad & (n1 > 0) & (n2 > 0)
+        if not acc.any():
+            break
+
+        # greedy: one merge per track per round (colmap's recursion ->
+        # next round re-candidates the merged tracks)
+        taken = np.zeros(n_tr, dtype=bool)
+        moved = 0
+        new_track_of = np.arange(n_tr, dtype=np.int64)
+        for a, b, X_m in zip(t1[acc], t2[acc], merged_xyz[acc]):
+            if taken[a] or taken[b]:
+                continue
+            taken[a] = taken[b] = True
+            # keep the longer track's id
+            tgt, src_t = (a, b) if ends[a] - starts[a] >= \
+                ends[b] - starts[b] else (b, a)
+            new_track_of[src_t] = tgt
+            tracks.xyz[tgt] = X_m
+            tracks.valid[src_t] = False
+            moved += int(ends[src_t] - starts[src_t])
+        if moved == 0:
+            break
+        remap = new_track_of != np.arange(n_tr)
+        sel = remap[tracks.obs_track]
+        tracks.obs_track[sel] = new_track_of[
+            tracks.obs_track[sel]].astype(np.int32)
+        total_moved += moved
+
+        # dedupe exact (track, image, feature) duplicates (both tracks
+        # may already explain the same keypoint via completion)
+        key = (tracks.obs_track.astype(np.int64) * scene.num_keypoints +
+               (scene.kp_offset[tracks.obs_image] + tracks.obs_feature))
+        # prefer keeping valid rows: sort by (key, ~valid)
+        order = np.lexsort((~tracks.obs_valid, key))
+        dup = np.zeros(tracks.num_obs, dtype=bool)
+        dup[order[1:]] = key[order[1:]] == key[order[:-1]]
+        tracks.obs_valid &= ~dup
+
+        # restore the (track, image)-sorted invariant BEFORE the next
+        # round (the CSR searchsorted above requires it; the solvers'
+        # sorted-window kernels rely on it too)
+        order = np.lexsort((tracks.obs_image, tracks.obs_track))
+        tracks.obs_track = tracks.obs_track[order]
+        tracks.obs_image = tracks.obs_image[order]
+        tracks.obs_feature = tracks.obs_feature[order]
+        tracks.obs_valid = tracks.obs_valid[order]
+
+    if total_moved:
+        logger.info("Merged tracks: %d observations moved", total_moved)
+    return total_moved
+
+
 def retriangulate_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
                          opts: TriangulatorOptions | None = None) -> Tracks:
     opts = opts or TriangulatorOptions()
@@ -229,6 +374,9 @@ def retriangulate_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
     # through their own inlier matches (wrong-component rescues)
     complete_tracks_from_matches(scene, vg, merged,
                                  opts.tri_complete_max_reproj_error)
+    # ...then fuse tracks that describe the same physical point (the
+    # MERGE half of colmap CompleteAndMergeTracks)
+    merge_tracks(scene, vg, merged, opts.tri_merge_max_reproj_error)
 
     out = merged.compact()
     logger.info("Retriangulation: %d tracks (%d observations)",

@@ -139,6 +139,7 @@ _resid_and_jac_v = jax.vmap(_resid_and_jac,
 
 @partial(jax.jit, static_argnames=("num_frames", "num_cams", "num_points",
                                    "num_sensors", "max_iters", "cg_iters",
+                                   "cg_tol",
                                    "optimize_points", "fast_path",
                                    "optimize_rig", "point_width",
                                    "frame_width", "one_hot_budget",
@@ -166,6 +167,10 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
               # per-camera kind (C,) int for the all-kind fast path
               # (perspective/fisheye/FOV); None = all perspective
               cam_kind=None,
+              # inexact-Newton forcing tolerance for the inner CG on the
+              # reduced camera system (Ceres `eta`, solver.h; its
+              # ITERATIVE_SCHUR default is 1e-1 — ours is tighter)
+              cg_tol: float = 1e-2,
               # partition-aware SPMD (parallel/partitioned_ba): when set,
               # the solver runs INSIDE shard_map with observations AND
               # points sharded by graph part and frame/camera parameter
@@ -211,23 +216,26 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
     from glomap_tpu.ops.segment_ops import make_axis_pair_ops as _mao
 
     def make_axis_ops(idx, n_seg, sorted_width: int = 0, psum: bool = True):
-        """See ops/segment_ops.make_axis_pair_ops (shared with GP)."""
+        """See ops/segment_ops.make_axis_pair_ops (the plain reduce/gather
+        ops are shared with GP via make_axis_ops; the fused pair variants
+        are only consumed here). gather_dot (the 4th element) stays on the
+        shelf: the CG loop deliberately composes plain ops per the
+        measured A/B (BENCH_NOTES fused-kernel table)."""
         return _mao(idx, n_seg, num_obs, dtype, sorted_width,
                     one_hot_budget,
-                    psum_axis=mesh_axis if psum else None)
+                    psum_axis=mesh_axis if psum else None)[:3]
 
     # point-axis traffic is LOCAL under partition sharding: observations
     # are co-located with their point's shard (parallel/partitioned_ba)
-    reduce_f, gather_f, rpairs_f, gdot_f = make_axis_ops(
+    reduce_f, gather_f, rpairs_f = make_axis_ops(
         o_frame, num_frames, frame_width)
-    reduce_c, gather_c, rpairs_c, gdot_c = make_axis_ops(o_cam, num_cams)
-    reduce_p, gather_p, rpairs_p, gdot_p = make_axis_ops(
+    reduce_c, gather_c, rpairs_c = make_axis_ops(o_cam, num_cams)
+    reduce_p, gather_p, rpairs_p = make_axis_ops(
         o_point, num_points, point_width, psum=False)
     if optimize_rig:
-        reduce_s, gather_s, rpairs_s, gdot_s = make_axis_ops(
-            o_sensor, num_sensors)
+        reduce_s, gather_s, rpairs_s = make_axis_ops(o_sensor, num_sensors)
     else:
-        reduce_s = gather_s = rpairs_s = gdot_s = None
+        reduce_s = gather_s = rpairs_s = None
 
     def jt_pairs(n):
         """J^T y rows for J as a (2n, O) row stack, y (2, O)."""
@@ -646,13 +654,14 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
                 else None
             return pack(pf, pc, ps)
 
-        # Inexact-Newton forcing: 1e-2 relative residual (tighter than
-        # Ceres's ITERATIVE_SCHUR default eta=1e-1, solver.h) — the LM
-        # outer loop absorbs the remaining linear-solve error, and the
-        # early exit cuts the latency-bound small-op chain that dominates
-        # the step at moderate scales (BENCH_NOTES speed-of-light note).
+        # Inexact-Newton forcing: cg_tol relative residual (default 1e-2,
+        # tighter than Ceres's ITERATIVE_SCHUR default eta=1e-1,
+        # solver.h) — the LM outer loop absorbs the remaining
+        # linear-solve error, and the early exit cuts the latency-bound
+        # small-op chain that dominates the step at moderate scales
+        # (BENCH_NOTES speed-of-light note).
         sol = cg_generic(schur_mv, pack(b_f, b_c, b_s), max_iters=cg_iters,
-                         tol=1e-2, precond=precond)
+                         tol=cg_tol, precond=precond)
         dvf, dvc, dvs = unpack(sol)
         dvf = dvf * frame_mask
         if optimize_rig:
@@ -841,7 +850,8 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         num_sensors=num_sensors,
         optimize_rig=bool(opts.optimize_rig_poses),
         point_width=point_width, frame_width=frame_width,
-        cam_kind=jnp.asarray(scene.cam_kind.astype(np.int32)))
+        cam_kind=jnp.asarray(scene.cam_kind.astype(np.int32)),
+        cg_tol=float(opts.cg_relative_tolerance))
 
     fq = np.asarray(fq, dtype=np.float64)
     ft = np.asarray(ft, dtype=np.float64)

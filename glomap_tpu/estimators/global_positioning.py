@@ -69,7 +69,8 @@ def _blocks_from_moments(m, eye3):
 
 
 @partial(jax.jit, static_argnames=("num_frames", "num_points", "max_iters",
-                                   "cg_iters", "point_width", "mesh_axis"))
+                                   "cg_iters", "cg_tol", "point_width",
+                                   "mesh_axis"))
 def _solve_gp(c0, X0,
               # point-to-camera observations; per-obs data is LANE-MAJOR
               # (rows, O) — (O, 3) arrays tile-pad ~42x on TPU
@@ -78,7 +79,13 @@ def _solve_gp(c0, X0,
               cc_i, cc_j, t_ccT, cc_w,
               num_frames: int, num_points: int,
               huber_delta: float, function_tol: float,
-              max_iters: int, cg_iters: int, point_width: int = 0,
+              max_iters: int, cg_iters: int,
+              # inexact-Newton forcing tolerance of the inner Jacobi-PCG
+              # on the frame system (same treatment as BA's cg_tol: the
+              # LM outer loop absorbs the linear-solve error, and early
+              # exit cuts ~10x off the 100-iteration fixed CG chain)
+              cg_tol: float = 1e-2,
+              point_width: int = 0,
               # partition-aware SPMD (parallel/partitioned_gp): inside
               # shard_map, obs+points are sharded by part, frame centers
               # replicated; frame-axis reductions psum over this axis,
@@ -195,7 +202,8 @@ def _solve_gp(c0, X0,
 
         B_f_d = damp(B_f)
         B_p_d = damp(B_p)
-        Bp_inv = jnp.linalg.inv(B_p_d)
+        from glomap_tpu.ops.linear import inv3x3
+        Bp_inv = inv3x3(B_p_d)
 
         # rhs of the Schur system on frames: b_f = -g_c - H_cp Bp_inv (-g_X)
         z = jnp.einsum("tij,tj->ti", Bp_inv, -g_X)
@@ -211,11 +219,11 @@ def _solve_gp(c0, X0,
             return out - reduce_f(-apply_aP(gather_p(z2)))
 
         # block-Jacobi preconditioner from the damped frame blocks
-        Bf_inv = jnp.linalg.inv(B_f_d)
+        Bf_inv = inv3x3(B_f_d)
         precond = lambda rr: jnp.einsum("fij,fj->fi", Bf_inv, rr)
 
-        dc_step = cg_generic(schur_mv, b_f, max_iters=cg_iters, tol=1e-8,
-                             precond=precond)
+        dc_step = cg_generic(schur_mv, b_f, max_iters=cg_iters,
+                             tol=cg_tol, precond=precond)
         # back-substitute points: dX = Bp_inv (-g_X - H_pc dc)
         Hpcdc = reduce_p(-apply_aP(gather_f(dc_step)))
         dX = jnp.einsum("tij,tj->ti", Bp_inv, -g_X - Hpcdc)
@@ -296,11 +304,12 @@ def _solve_partitioned_flow(scene, tracks, mesh, opts, dtype, num_frames,
     hub = float(opts.thres_loss_function)
     ftol = float(opts.function_tolerance)
     iters = int(opts.max_num_iterations)
+    cg_tol = float(opts.cg_relative_tolerance)
 
     has_rig_offsets = bool(np.any(np.abs(u_rig_np) > 0))
     if has_rig_offsets:
         c1, X1, _, _ = runner.solve(c0, X0, np.zeros_like(u_rig_np), hub,
-                                    ftol, iters)
+                                    ftol, iters, cg_tol=cg_tol)
         d_base = X1[o_point_np] - c1[o_frame]
         w_np = np.asarray(obs_w, np.float64)
 
@@ -318,10 +327,12 @@ def _solve_partitioned_flow(scene, tracks, mesh, opts, dtype, num_frames,
         costs = np.asarray([cost_at_scale(sg) for sg in grid])
         sg = float(grid[int(np.argmin(costs))])
         c2, X2, _, _ = runner.solve(sg * c1, sg * X1, u_rig_np, 1e3, ftol,
-                                    iters)
-        c, X, cost, it = runner.solve(c2, X2, u_rig_np, hub, ftol, iters)
+                                    iters, cg_tol=cg_tol)
+        c, X, cost, it = runner.solve(c2, X2, u_rig_np, hub, ftol, iters,
+                                      cg_tol=cg_tol)
     else:
-        c, X, cost, it = runner.solve(c0, X0, u_rig_np, hub, ftol, iters)
+        c, X, cost, it = runner.solve(c0, X0, u_rig_np, hub, ftol, iters,
+                                      cg_tol=cg_tol)
 
     # unknown cam_from_rig: local (unsharded) sensor GN + re-solve rounds
     has_unknown = use_points and n_obs > 0 and \
@@ -343,7 +354,7 @@ def _solve_partitioned_flow(scene, tracks, mesh, opts, dtype, num_frames,
                                 uT, ow, q_f_o, unk_o, o_sens, cs,
                                 num_sensors, hub)
             c, X, cost, it = runner.solve(c, X, np.asarray(uT).T, hub,
-                                          ftol, iters)
+                                          ftol, iters, cg_tol=cg_tol)
         cs_np = np.asarray(cs, dtype=np.float64)
         unk_sensors = np.nonzero(~scene.sensor_known)[0]
         t_s = -rotm.quat_rotate(scene.sensor_quat[unk_sensors],
@@ -511,7 +522,8 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
     args_static = (num_frames, num_points_pad,
                    float(opts.thres_loss_function),
                    float(opts.function_tolerance),
-                   int(opts.max_num_iterations), 100, point_width)
+                   int(opts.max_num_iterations), 100,
+                   float(opts.cg_relative_tolerance), point_width)
     _sh = _shT = _rep = lambda a: a
     of = _sh(jnp.asarray(o_frame))
     op = _sh(jnp.asarray(o_point_np))
@@ -566,6 +578,7 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
                                  num_frames, num_points_pad, 1e3,
                                  float(opts.function_tolerance),
                                  int(opts.max_num_iterations), 100,
+                                 float(opts.cg_relative_tolerance),
                                  point_width)
         c, X, cost, it = _solve_gp(c2, X2, of, op, tT, uT,
                                    ow, ci, cj, tccT, cw, *args_static)

@@ -130,14 +130,15 @@ def _decompose_E(E):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("hyp_per_round", "rounds"))
-def _ransac_essential_tab(key, tab, mask, counts, sq_thres,
-                          hyp_per_round: int, rounds: int):
-    """tab: 6 x (P, cap) ray components; mask (P, cap); counts (P,).
+def _ransac_rounds(key, tab, mask, counts, sq_thres, init_E, init_cnt,
+                   hyp_per_round: int, rounds: int):
+    """Core RANSAC scan: `rounds` x `hyp_per_round` fresh 8-point
+    hypotheses per pair, folded into the running best.
+
+    tab: 6 x (P, cap) ray components; mask (P, cap); counts (P,).
     Returns (best_E (P, 3, 3), best_count (P,))."""
     x1, y1, z1, x2, y2, z2 = tab
     P = x1.shape[0]
-    dtype = x1.dtype
     thr = sq_thres[:, None]
 
     def one_round(carry, rkey):
@@ -176,9 +177,27 @@ def _ransac_essential_tab(key, tab, mask, counts, sq_thres,
         return (best_E, best_cnt), None
 
     keys = jax.random.split(key, rounds)
-    init = (jnp.zeros((P, 3, 3), dtype), jnp.zeros((P,), jnp.int32))
-    (best_E, best_cnt), _ = jax.lax.scan(one_round, init, keys)
+    (best_E, best_cnt), _ = jax.lax.scan(one_round, (init_E, init_cnt),
+                                         keys)
     return best_E, best_cnt
+
+
+@partial(jax.jit, static_argnames=("hyp_per_round", "rounds"))
+def _ransac_chunk(key, tab, mask, counts, sq_thres, best_E, best_cnt, idx,
+                  hyp_per_round: int, rounds: int):
+    """One adaptive chunk: fresh hypotheses for the ACTIVE pairs only.
+
+    idx (Pa,): active pair rows, bucket-padded with the value P (one past
+    the last pair) — best_E/best_cnt carry an extra dummy row P that
+    absorbs the padded scatters, and the (P, cap) table gathers clamp
+    out-of-range indices to the last real pair (wasted compute, no
+    aliasing). Pa shrinks bucket-by-bucket as pairs reach their adaptive
+    confidence target, so easy pairs stop paying for hard ones."""
+    sub = tuple(c[idx] for c in tab)
+    sE, scnt = _ransac_rounds(key, sub, mask[idx], counts[idx],
+                              sq_thres[idx], best_E[idx], best_cnt[idx],
+                              hyp_per_round, rounds)
+    return best_E.at[idx].set(sE), best_cnt.at[idx].set(scnt)
 
 
 @jax.jit
@@ -354,13 +373,58 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     import logging
     import time as _time
     _log = logging.getLogger(__name__)
+
+    # ---- adaptive RANSAC budget (PoseLib LO-RANSAC parity,
+    # relpose_estimation.h:14: max_iterations=50000, min_iterations=1000
+    # PoseLib default, success probability 0.9999). Hypotheses are spent
+    # in fixed 512-hypothesis chunks (8 scan rounds x 64 — ONE compiled
+    # graph per active-set bucket); after each chunk every pair's
+    # remaining budget is the standard RANSAC stopping number
+    # N = log(1-conf)/log(1-r^8) from its best inlier ratio r, and
+    # converged pairs leave the active set (bucket-padded host-side
+    # compaction), so easy pairs stop after `num_hypotheses` while
+    # 60%-inlier pairs run to the reference's full 50k budget.
     hyp_per_round = 64
-    rounds = max(1, min(opts.num_hypotheses, 4096) // hyp_per_round)
+    chunk_rounds = max(1, min(int(opts.num_hypotheses), 512) //
+                       hyp_per_round)
+    chunk_hyp = chunk_rounds * hyp_per_round
+    min_hyp = max(int(opts.num_hypotheses), chunk_hyp)
+    max_hyp = max(int(opts.max_iterations), min_hyp)
+    conf = 0.9999
+
+    from glomap_tpu.utils.padding import bucket_size
     key = jax.random.PRNGKey(seed)
     _t0 = _time.time()
-    best_E, best_cnt = _ransac_essential_tab(key, tab, mask, counts_d,
-                                             sq_thres, hyp_per_round, rounds)
-    best_E.block_until_ready()
+    best_E = jnp.zeros((P + 1, 3, 3), dtype)
+    best_cnt = jnp.zeros((P + 1,), jnp.int32)
+    counts_f = np.maximum(counts.astype(np.float64), 1.0)
+    active = np.arange(P, dtype=np.int32)
+    done = np.zeros(P, dtype=np.int64)
+    n_chunks = 0
+    while len(active):
+        pad_n = bucket_size(len(active), 64)
+        idx = np.full(pad_n, P, dtype=np.int32)
+        idx[:len(active)] = active
+        key, sub = jax.random.split(key)
+        best_E, best_cnt = _ransac_chunk(
+            sub, tab, mask, counts_d, sq_thres, best_E, best_cnt,
+            jnp.asarray(idx), hyp_per_round, chunk_rounds)
+        done[active] += chunk_hyp
+        n_chunks += 1
+        # per-pair stopping number from the best inlier ratio so far
+        cnt_np = np.asarray(best_cnt[:P])
+        r = np.clip(cnt_np / counts_f, 0.0, 0.9999)
+        p_sample = r ** 8
+        with np.errstate(divide="ignore"):
+            needed = np.where(
+                p_sample > 1e-12,
+                np.log(max(1.0 - conf, 1e-16)) /
+                np.log1p(-np.minimum(p_sample, 0.999999)),
+                np.inf)
+        target = np.clip(needed, min_hyp, max_hyp)
+        active = np.nonzero(done < target)[0].astype(np.int32)
+    best_E = best_E[:P]
+    jax.block_until_ready(best_E)
     _t1 = _time.time()
     q, t = _choose_pose_tab(best_E, tab, mask)
     t.block_until_ready()
@@ -368,8 +432,12 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     q, t = _refine_poses_tab(q, t, tab, mask, sq_thres,
                              opts.refine_num_lm_iters)
     t.block_until_ready()
-    _log.info("relpose: ransac %.1fs (%d rounds x %d hyp), choose %.1fs, "
-              "refine %.1fs", _t1 - _t0, rounds, hyp_per_round,
+    _log.info("relpose: ransac %.1fs (%d adaptive chunks x %d hyp; "
+              "hypotheses/pair min %d / mean %d / max %d), choose %.1fs, "
+              "refine %.1fs", _t1 - _t0, n_chunks, chunk_hyp,
+              int(done.min()) if len(done) else 0,
+              int(done.mean()) if len(done) else 0,
+              int(done.max()) if len(done) else 0,
               _t2 - _t1, _time.time() - _t2)
 
     vg.pair_quat = np.array(q, dtype=np.float64, copy=True)

@@ -69,8 +69,13 @@ def make_axis_pair_ops(idx, n_seg: int, num_obs: int, dtype,
           out[r, o] = sum_j U[r*k + j, o] * tab[idx[o], j]
     On the one-hot / fallback axes they compose the same results from the
     plain ops (XLA fuses those fine — no custom calls to defeat CSE)."""
-    reduce, gather = make_axis_ops(idx, n_seg, num_obs, dtype, sorted_width,
-                                   one_hot_budget, psum_axis)
+    reduce_local, gather = _make_axis_ops_local(idx, n_seg, num_obs, dtype,
+                                                sorted_width, one_hot_budget)
+    if psum_axis is not None:
+        def reduce(vals):
+            return jax.lax.psum(reduce_local(vals), psum_axis)
+    else:
+        reduce = reduce_local
     if sorted_width:
         from glomap_tpu.ops.pallas_kernels import (
             _on_tpu, sorted_segment_gather_dot, sorted_segment_pair_rowsum)
@@ -88,7 +93,7 @@ def make_axis_pair_ops(idx, n_seg: int, num_obs: int, dtype,
         def reduce_pairs_local(U, V, pairs):
             rows = jnp.stack([sum(U[a] * V[b] for a, b in terms)
                               for terms in pairs])
-            return _reduce_rows_unfused(rows)
+            return reduce_local(rows)
 
         def gather_dot(tab, U):
             rows = gather(tab)  # (k, O)
@@ -96,9 +101,6 @@ def make_axis_pair_ops(idx, n_seg: int, num_obs: int, dtype,
             nr = U.shape[0] // k
             return jnp.einsum("rko,ko->ro",
                               U.reshape(nr, k, U.shape[1]), rows)
-
-        _reduce_rows_unfused, _ = make_axis_ops(idx, n_seg, num_obs, dtype,
-                                                0, one_hot_budget, None)
     if psum_axis is not None:
         def reduce_pairs(U, V, pairs):
             return jax.lax.psum(reduce_pairs_local(U, V, pairs), psum_axis)

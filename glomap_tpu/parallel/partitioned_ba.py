@@ -282,6 +282,7 @@ def build_partitioned_ba_inputs(scene: Scene, tracks: Tracks, num_parts: int,
         huber_delta=float(opts.thres_loss_function),
         function_tol=float(opts.function_tolerance),
         max_iters=int(opts.max_num_iterations), cg_iters=30,
+        cg_tol=float(opts.cg_relative_tolerance),
         optimize_points=bool(opts.optimize_points),
         optimize_rig=bool(opts.optimize_rig_poses),
         num_sensors=num_sensors,

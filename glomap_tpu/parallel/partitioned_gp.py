@@ -113,7 +113,7 @@ class PartitionedGP:
         return out
 
     def solve(self, c0, X0, u_rig, huber_delta, function_tol,
-              max_iters, cg_iters=100):
+              max_iters, cg_iters=100, cg_tol=1e-2):
         """c0 (F,3), X0 (num_points,3), u_rig (O,3) host arrays ->
         (c, X, cost, it) host arrays (X in the global point order)."""
         from glomap_tpu.estimators.global_positioning import _solve_gp
@@ -130,7 +130,7 @@ class PartitionedGP:
         # fresh closure per call would miss jax's dispatch cache and pay
         # the full (remote) compile on every anneal/alternation round
         key = (float(huber_delta), float(function_tol), int(max_iters),
-               int(cg_iters))
+               int(cg_iters), float(cg_tol))
         fn = self._fn_cache.get(key)
         if fn is None:
             def body(c0_l, X0_l, of, op, tT, uT, ow, ci, cj, tccT, cw):
@@ -138,7 +138,7 @@ class PartitionedGP:
                     c0_l, X0_l[0], of[0], op[0], tT[0], uT[0], ow[0],
                     ci[0], cj[0], tccT[0], cw[0],
                     self.num_frames, self.Tmax,
-                    key[0], key[1], key[2], key[3],
+                    key[0], key[1], key[2], key[3], cg_tol=key[4],
                     point_width=self.point_width, mesh_axis=axis)
                 return c, X[None], cost, it
 

@@ -1,12 +1,14 @@
-"""Distributed bundle adjustment over a device mesh.
+"""LEGACY replicated-parameter distributed BA (round-1 design).
 
-The per-observation arrays (frame/camera/point indices, sensor poses,
-pixels, weights) are sharded on the "obs" mesh axis; parameter blocks
-(frame poses, intrinsics, points) are replicated. Under jit with these
-shardings XLA partitions every Jacobian-block computation and segment-sum
-locally per device and inserts one AllReduce over ICI per reduction — the
-distributed Schur assembly of BASELINE.json, with zero code change to the
-solver itself (estimators/bundle_adjustment._solve_ba).
+SUPERSEDED by parallel/partitioned_ba (partition-aware: points and
+observations physically sharded by spectral graph part under shard_map,
+7.4x lower HBM at the 1M-obs scale) — which is what
+solve_bundle_adjustment(mesh=...) and the driver dryrun route to. This
+module remains only for (a) `build_ba_inputs`, the flat-array assembly
+reused by `__graft_entry__.entry()` and the component benches, and
+(b) an A/B reference point for the replicated design: per-observation
+arrays sharded on the "obs" axis, ALL parameter blocks replicated, XLA
+inserting one AllReduce per segment reduction. Do not add new callers.
 """
 
 from __future__ import annotations

@@ -152,6 +152,31 @@ def test_mapper_with_retriangulation():
     assert tracks.obs_valid.sum() >= 0.98 * scene.num_keypoints
 
 
+def test_mapper_stress_60pct_inliers_full_pipeline():
+    """The reference's OWN robustness stress point, mirrored exactly
+    (global_mapper_test.cc:177-217 WithNoiseAndOutliers): 2 rigs x 4
+    frames, 100 points, sigma=0.5 px keypoint noise and
+    inlier_match_ratio=0.6, with the FULL pipeline enabled — relative
+    poses RE-ESTIMATED by our own adaptive RANSAC (no skip), then
+    retriangulation. Oracle: 1e-1 deg / 1e-1 center bounds and >=98% of
+    observations recovered (num_obs_tolerance=0.02)."""
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_rigs=2, num_frames_per_rig=4,
+                         num_points3D=100, seed=35,
+                         point2D_stddev=0.5, inlier_match_ratio=0.6))
+    # wipe everything the pipeline should recover
+    scene.frame_quat = np.tile([1.0, 0, 0, 0], (scene.num_frames, 1))
+    scene.frame_trans = np.zeros((scene.num_frames, 3))
+    vg.pair_quat = np.tile([1.0, 0, 0, 0], (vg.num_pairs, 1))
+    vg.pair_trans = np.tile([0.0, 0, 1.0], (vg.num_pairs, 1))
+
+    tracks = GlobalMapper(GlobalMapperOptions()).solve(scene, vg)
+    assert tracks is not None
+    assert scene.frame_registered.sum() == scene.num_frames
+    _expect_equal(scene, gt, 1e-1, 1e-1)
+    assert tracks.obs_valid.sum() >= 0.98 * scene.num_keypoints
+
+
 def test_mapper_noisy_outliers_observation_recovery():
     """The reference noisy oracle in full (global_mapper_test.cc:177-217):
     sigma=0.5 px keypoints + outlier matches, retriangulation enabled;
