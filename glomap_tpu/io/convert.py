@@ -96,8 +96,19 @@ def database_to_scene(db: DatabaseData):
     n_pair = len(keep)
     vg.pair_i = np.asarray(pi, dtype=np.int32)
     vg.pair_j = np.asarray(pj, dtype=np.int32)
-    vg.pair_valid = np.ones(n_pair, dtype=bool)
     vg.pair_config = db.tvg_configs[keep].astype(np.int32)
+    # pairs marked UNDEFINED / DEGENERATE / WATERMARK / MULTIPLE by the
+    # matcher are invalid from the start (colmap_converter.cc:377-384)
+    from glomap_tpu.scene.view_graph import (
+        CONFIG_DEGENERATE, CONFIG_MULTIPLE, CONFIG_UNDEFINED,
+        CONFIG_WATERMARK)
+    bad_cfg = np.isin(vg.pair_config,
+                      (CONFIG_UNDEFINED, CONFIG_DEGENERATE,
+                       CONFIG_WATERMARK, CONFIG_MULTIPLE))
+    vg.pair_valid = ~bad_cfg
+    if bad_cfg.any():
+        logger.info("%d / %d pairs invalid (config)", int(bad_cfg.sum()),
+                    n_pair)
     vg.pair_E = db.tvg_E[keep]
     vg.pair_F = db.tvg_F[keep]
     vg.pair_H = db.tvg_H[keep]
@@ -109,12 +120,27 @@ def database_to_scene(db: DatabaseData):
         vg.pair_trans = np.zeros((n_pair, 3))
     m_pair, m_f1, m_f2 = [], [], []
     offsets = [0]
+    kp_count = np.diff(db.kp_offset)
+    n_dropped = 0
     for kk, k in enumerate(keep):
         m = db.tvg_matches[k]
+        # drop rows with invalid (kInvalidPoint2DIdx = u32 max, stored
+        # as 0xFFFFFFFF) or out-of-range feature indices — the reference
+        # skips them row by row (colmap_converter.cc:414-424); indexing
+        # past an image's keypoint slice would silently alias the NEXT
+        # image's features in the flat kp arrays
+        ok = (m[:, 0] >= 0) & (m[:, 1] >= 0) & \
+            (m[:, 0] < kp_count[pi[kk]]) & (m[:, 1] < kp_count[pj[kk]])
+        if not ok.all():
+            n_dropped += int((~ok).sum())
+            m = m[ok]
         m_pair.extend([kk] * len(m))
         m_f1.extend(m[:, 0].tolist())
         m_f2.extend(m[:, 1].tolist())
         offsets.append(offsets[-1] + len(m))
+    if n_dropped:
+        logger.info("Dropped %d match rows with invalid/out-of-range "
+                    "feature indices", n_dropped)
     vg.match_pair = np.asarray(m_pair, dtype=np.int32)
     vg.match_f1 = np.asarray(m_f1, dtype=np.int32)
     vg.match_f2 = np.asarray(m_f2, dtype=np.int32)
@@ -164,6 +190,23 @@ def _ingest_rigs_and_frames(scene, db, cam_idx, img_idx, n_img):
                 sensor_t.append([0.0, 0, 0])
                 sensor_ref.append(False)
                 sensor_known.append(False)
+    # cameras not referenced by any rig get a trivial one-sensor rig
+    # (colmap_converter.cc:313-327); images not referenced by any frame
+    # get a trivial frame below (:329-343) — both happen with partially
+    # migrated pre-rig databases
+    max_rig_id = max((int(r) for r in rig_ids), default=0)
+    for c in range(len(db.camera_ids)):
+        if c in sensor_lookup:
+            continue
+        max_rig_id += 1
+        rig_ids.append(max_rig_id)
+        sensor_lookup[c] = len(sensor_rig)
+        sensor_rig.append(len(rig_ids) - 1)
+        sensor_cam.append(c)
+        sensor_q.append([1.0, 0, 0, 0])
+        sensor_t.append([0.0, 0, 0])
+        sensor_ref.append(True)
+        sensor_known.append(True)
     scene.rig_ids = np.asarray(rig_ids, dtype=np.int64)
     scene.sensor_rig = np.asarray(sensor_rig, dtype=np.int32)
     scene.sensor_camera = np.asarray(sensor_cam, dtype=np.int32)
@@ -173,26 +216,44 @@ def _ingest_rigs_and_frames(scene, db, cam_idx, img_idx, n_img):
     scene.sensor_known = np.asarray(sensor_known, dtype=bool)
     rig_idx = {int(rid): k for k, rid in enumerate(rig_ids)}
 
-    n_frame = len(db.frames)
-    scene.frame_ids = np.asarray([f[0] for f in db.frames], dtype=np.int64)
-    scene.frame_rig = np.asarray([rig_idx[int(f[1])] for f in db.frames],
-                                 dtype=np.int32)
+    frame_ids = [int(f[0]) for f in db.frames]
+    frame_rig = [rig_idx[int(f[1])] for f in db.frames]
+    image_frame = np.full(n_img, -1, dtype=np.int32)
+    image_sensor = np.zeros(n_img, dtype=np.int32)
+    for fidx, (fid, rid, data) in enumerate(db.frames):
+        for stype, data_id in data:
+            k = img_idx.get(int(data_id))
+            if k is None:
+                continue
+            image_frame[k] = fidx
+            image_sensor[k] = sensor_lookup[scene.image_camera[k]]
+    # trivial frames for images no frame references
+    max_frame_id = max(frame_ids, default=0)
+    n_orphans = 0
+    for k in range(n_img):
+        if image_frame[k] >= 0:
+            continue
+        max_frame_id += 1
+        image_frame[k] = len(frame_ids)
+        image_sensor[k] = sensor_lookup[scene.image_camera[k]]
+        frame_ids.append(max_frame_id)
+        frame_rig.append(int(scene.sensor_rig[image_sensor[k]]))
+        n_orphans += 1
+    if n_orphans:
+        logger.info("Created %d trivial frames for images without "
+                    "frame_data rows", n_orphans)
+
+    n_frame = len(frame_ids)
+    scene.frame_ids = np.asarray(frame_ids, dtype=np.int64)
+    scene.frame_rig = np.asarray(frame_rig, dtype=np.int32)
     scene.frame_quat = np.tile([1.0, 0, 0, 0], (n_frame, 1))
     scene.frame_trans = np.zeros((n_frame, 3))
     scene.frame_registered = np.ones(n_frame, dtype=bool)
     scene.frame_cluster = np.zeros(n_frame, dtype=np.int32)
     scene.frame_has_gravity = np.zeros(n_frame, dtype=bool)
     scene.frame_gravity = np.zeros((n_frame, 3))
-
-    scene.image_frame = np.zeros(n_img, dtype=np.int32)
-    scene.image_sensor = np.zeros(n_img, dtype=np.int32)
-    for fidx, (fid, rid, data) in enumerate(db.frames):
-        for stype, data_id in data:
-            k = img_idx.get(int(data_id))
-            if k is None:
-                continue
-            scene.image_frame[k] = fidx
-            scene.image_sensor[k] = sensor_lookup[scene.image_camera[k]]
+    scene.image_frame = image_frame
+    scene.image_sensor = image_sensor
 
 
 def scene_to_model(scene: Scene, tracks: Tracks, cluster: int = -1):
