@@ -392,7 +392,21 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     max_hyp = max(int(opts.max_iterations), min_hyp)
     conf = 0.9999
 
-    from glomap_tpu.utils.padding import bucket_size
+    # Active-set size buckets: P, ~P/4, ~P/16, ... floored at 64. Every
+    # distinct bucket is one remote compile of the chunk graph (minutes
+    # each through the tunnel) — 4x steps cap the shape count at
+    # ~log4(P/64) (< 7) while bounding padded waste at 4x.
+    size_buckets = []
+    s = P
+    while s > 64:
+        size_buckets.append(int(np.ceil(s / 64.0)) * 64)
+        s //= 4
+    size_buckets.append(64)
+
+    def active_bucket(n):
+        return min((b for b in size_buckets if b >= n),
+                   default=size_buckets[0])
+
     key = jax.random.PRNGKey(seed)
     _t0 = _time.time()
     best_E = jnp.zeros((P + 1, 3, 3), dtype)
@@ -402,7 +416,7 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     done = np.zeros(P, dtype=np.int64)
     n_chunks = 0
     while len(active):
-        pad_n = bucket_size(len(active), 64)
+        pad_n = active_bucket(len(active))
         idx = np.full(pad_n, P, dtype=np.int32)
         idx[:len(active)] = active
         key, sub = jax.random.split(key)

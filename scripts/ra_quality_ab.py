@@ -1,0 +1,220 @@
+"""Rotation-averaging quality A/B and city-scale PCG bench.
+
+Two VERDICT round-2 asks in one tool:
+
+  --ab    Quality A/B of the L1 phase implementations on a noisy-outlier
+          oracle: the EXACT Boyd-ADMM against the cached dense Cholesky
+          (the reference algorithm, global_rotation_averaging.cc:479-541)
+          vs the L1-IRLS fixed-point fallback used beyond the dense
+          ceiling / under gravity constraints. Both are followed by the
+          same Geman-McClure IRLS phase. Reports max/median pairwise
+          rotation error vs the reference test bounds (<=1.5/2/3 deg,
+          rotation_averager_test.cc:354-361).
+
+  --city  City-scale windowed-PCG bench: >=20k frames (beyond the
+          12288-frame dense ceiling, so the Jacobi-PCG path with the
+          Pallas sorted-window Laplacian matvec is genuinely exercised)
+          at >=1M edges; reports IRLS iters/s on the real chip plus the
+          same quality oracle.
+
+Usage:
+  ./scripts/dbg.sh scripts/ra_quality_ab.py --ab          (CPU, x64)
+  python scripts/ra_quality_ab.py --city                  (TPU)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_graph(F, deg, noise_deg, outlier_ratio, seed=3, span=30):
+    """Sequential-capture rotation graph: F frames, ~deg edges/frame to
+    neighbors within `span`, relative rotations with `noise_deg` noise
+    and `outlier_ratio` random-rotation outliers."""
+    from glomap_tpu.math import rotation as rotm
+    rng = np.random.default_rng(seed)
+    q_gt = rng.standard_normal((F, 4))
+    q_gt /= np.linalg.norm(q_gt, axis=1, keepdims=True)
+    fi = np.repeat(np.arange(F), deg)
+    fj = np.minimum(fi + rng.integers(1, span, size=len(fi)), F - 1)
+    keep = fi != fj
+    # dedupe repeated (i, j) draws to keep the edge set simple
+    key = fi[keep] * np.int64(F) + fj[keep]
+    uniq = np.unique(key)
+    fi = (uniq // F).astype(np.int32)
+    fj = (uniq % F).astype(np.int32)
+    q_rel = np.asarray(rotm.quat_mul(q_gt[fj], rotm.quat_conj(q_gt[fi])))
+    w = np.deg2rad(noise_deg) * rng.standard_normal((len(fi), 3))
+    q_rel = np.asarray(rotm.quat_mul(q_rel, np.asarray(
+        rotm.so3_exp_quat(w))))
+    n_out = int(outlier_ratio * len(fi))
+    out_idx = rng.choice(len(fi), n_out, replace=False)
+    q_out = rng.standard_normal((n_out, 4))
+    q_out /= np.linalg.norm(q_out, axis=1, keepdims=True)
+    q_rel[out_idx] = q_out
+    return fi, fj, q_rel, q_gt
+
+
+def max_pairwise_err_deg(q_est, q_gt, sample=2000, seed=0):
+    """Max/median pairwise relative-rotation error on sampled pairs."""
+    from glomap_tpu.math import rotation as rotm
+    rng = np.random.default_rng(seed)
+    F = len(q_est)
+    ii = rng.integers(0, F, sample)
+    jj = rng.integers(0, F, sample)
+    keep = ii != jj
+    ii, jj = ii[keep], jj[keep]
+    rel_e = rotm.quat_mul(q_est[ii], rotm.quat_conj(q_est[jj]))
+    rel_g = rotm.quat_mul(q_gt[ii], rotm.quat_conj(q_gt[jj]))
+    errs = np.degrees(np.asarray(
+        rotm.relative_quat_angle_rad(np.asarray(rel_e), np.asarray(rel_g))))
+    return float(errs.max()), float(np.median(errs))
+
+
+def run_solver(fi, fj, q_rel, F, l1_mode, use_dense, dtype, sorted_ops=None,
+               max_l1=5, max_irls=100):
+    """MST init -> L1 phase (admm | irls) -> GM IRLS. Returns (quats,
+    wall-clock of the IRLS phase, IRLS iters)."""
+    import jax.numpy as jnp
+    from glomap_tpu.estimators.rotation_averaging import (
+        WEIGHT_GEMAN_MCCLURE, WEIGHT_L1, _init_from_mst, _irls_phase,
+        _l1_admm_phase)
+    from glomap_tpu.math import rotation as rotm
+    from glomap_tpu.utils.padding import bucket_size, pad_axis0
+
+    w = np.ones(len(fi))
+    quats0, root = _init_from_mst(F, fi, fj, q_rel, w)
+    n_pad = bucket_size(len(fi), 128)
+    valid = pad_axis0(np.ones(len(fi), dtype=bool), n_pad, fill=False)
+    q_rel_p = pad_axis0(q_rel, n_pad).copy()
+    q_rel_p[len(fi):, 0] = 1.0
+    fi_d = jnp.asarray(pad_axis0(fi, n_pad))
+    fj_d = jnp.asarray(pad_axis0(fj, n_pad))
+    q_rel_d = jnp.asarray(q_rel_p, dtype=dtype)
+    w_d = jnp.asarray(pad_axis0(w, n_pad), dtype=dtype)
+    valid_d = jnp.asarray(valid)
+    quats = jnp.asarray(quats0, dtype=dtype)
+    sops = sorted_ops or {}
+
+    if l1_mode == "admm":
+        quats, _ = _l1_admm_phase(quats, fi_d, fj_d, q_rel_d, w_d, valid_d,
+                                  root, F, max_outer=max_l1,
+                                  conv_thresh=0.001)
+    else:
+        quats, _ = _irls_phase(quats, fi_d, fj_d, q_rel_d, w_d, valid_d,
+                               root, F, max_iters=max(10 * max_l1, 50),
+                               weight_mode=WEIGHT_L1,
+                               sigma_rad=np.deg2rad(5.0),
+                               conv_thresh=0.0001, use_dense=use_dense,
+                               min_iters=10, **sops)
+    quats.block_until_ready()
+    t0 = time.time()
+    quats, it = _irls_phase(quats, fi_d, fj_d, q_rel_d, w_d, valid_d, root,
+                            F, max_iters=max_irls,
+                            weight_mode=WEIGHT_GEMAN_MCCLURE,
+                            sigma_rad=np.deg2rad(5.0), conv_thresh=0.001,
+                            use_dense=use_dense, **sops)
+    q = np.asarray(rotm.quat_normalize(quats), dtype=np.float64)
+    it = int(it)
+    wall = time.time() - t0
+    return q, wall, it
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ab", action="store_true")
+    ap.add_argument("--city", action="store_true")
+    ap.add_argument("--frames", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.ab:
+        # >=10k frames (VERDICT ask) but within the dense ceiling so the
+        # exact ADMM reference algorithm can run as the A side
+        F = args.frames or 10000
+        # reference-regime noise: the rotation_averager_test scenes
+        # (0.5-1 px keypoint noise) yield ~0.3 deg relative-rotation
+        # noise; outlier fraction mirrors inlier_match_ratio=0.6
+        fi, fj, q_rel, q_gt = synth_graph(F, deg=10, noise_deg=0.3,
+                                          outlier_ratio=0.20)
+        dtype = jnp.float64 if jax.config.read("jax_enable_x64") \
+            else jnp.float32
+        rows = []
+        for mode in ("admm", "irls"):
+            q, wall, it = run_solver(fi, fj, q_rel, F, mode,
+                                     use_dense=True, dtype=dtype)
+            mx, med = max_pairwise_err_deg(q, q_gt)
+            rows.append((mode, mx, med, it, wall))
+            print(f"# L1={mode:5s}: max pairwise err {mx:.3f} deg, "
+                  f"median {med:.4f} deg, GM iters {it}, {wall:.1f}s",
+                  file=sys.stderr)
+        print(json.dumps({
+            "metric": "ra_l1_quality_ab",
+            "frames": F, "edges": int(len(fi)),
+            "noise_deg": 0.3, "outlier_ratio": 0.2,
+            "admm_max_err_deg": round(rows[0][1], 3),
+            "irlsl1_max_err_deg": round(rows[1][1], 3),
+            "reference_bound_deg": 1.5,
+        }))
+        return
+
+    if args.city:
+        F = args.frames or 20000
+        deg = 50  # ~1M directed draws -> ~0.9M unique edges
+        fi, fj, q_rel, q_gt = synth_graph(F, deg=deg, noise_deg=1.0,
+                                          outlier_ratio=0.05, span=60)
+        print(f"# city graph: {F} frames, {len(fi)} edges",
+              file=sys.stderr)
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from glomap_tpu.estimators.rotation_averaging import \
+            build_sorted_edge_ops
+        from glomap_tpu.utils.padding import bucket_size, pad_axis0
+        n_pad = bucket_size(len(fi), 128)
+        ops = build_sorted_edge_ops(pad_axis0(fi, n_pad),
+                                    pad_axis0(fj, n_pad))
+        sops = None
+        if ops is not None:
+            sops = dict(e2_src=jnp.asarray(ops["e2_src"]),
+                        e2_dst=jnp.asarray(ops["e2_dst"]),
+                        e2_orig=jnp.asarray(ops["e2_orig"]),
+                        e2_sign=jnp.asarray(ops["e2_sign"]),
+                        src_width=ops["src_width"],
+                        dst_width=ops["dst_width"])
+            print(f"# windowed matvec: src_width {ops['src_width']}, "
+                  f"dst_width {ops['dst_width']}", file=sys.stderr)
+        best = None
+        for rep in range(3):
+            q, wall, it = run_solver(fi, fj, q_rel, F, "irls",
+                                     use_dense=False, dtype=jnp.float32,
+                                     sorted_ops=sops, max_irls=32)
+            rate = it / wall if wall > 0 else 0.0
+            print(f"# rep {rep}: {it} GM iters in {wall:.2f}s "
+                  f"({rate:.2f} iters/s)", file=sys.stderr)
+            best = max(best or 0.0, rate)
+        mx, med = max_pairwise_err_deg(q, q_gt)
+        print(f"# quality: max pairwise err {mx:.3f} deg, median "
+              f"{med:.4f} deg", file=sys.stderr)
+        print(json.dumps({
+            "metric": "ra_city_scale_iters_per_s",
+            "value": round(best, 2),
+            "unit": f"IRLS iterations/s ({F} frames, {len(fi)} edges, "
+                    f"f32, windowed PCG)",
+            "max_err_deg": round(mx, 3),
+        }))
+        return
+
+    ap.print_help()
+
+
+if __name__ == "__main__":
+    main()
