@@ -71,18 +71,35 @@ def _apply_dotted_flags(opt, unknown_args):
     return opt
 
 
+def _enter_distributed(opt):
+    """Join the jax.distributed coordination service and put every solver
+    on the global device mesh (multi-host entry, SURVEY.md §2.3).
+    Coordinator/process-count/process-id come from the
+    GLOMAP_COORDINATOR / GLOMAP_NUM_PROCESSES / GLOMAP_PROCESS_ID env
+    vars (all three optional on TPU pods with the standard launcher).
+    Returns True when this process should write outputs (primary)."""
+    import jax
+    from glomap_tpu.parallel import multihost
+    multihost.initialize()
+    opt.device_mesh_shape = (jax.device_count(),)
+    return multihost.is_primary()
+
+
 def run_mapper(args, extra):
     from glomap_tpu.controllers.global_mapper import GlobalMapper
     from glomap_tpu.io.convert import database_to_scene, write_reconstruction
     from glomap_tpu.io.database import read_database
 
     opt = _apply_dotted_flags(cfg.GlobalMapperOptions(), extra)
+    primary = _enter_distributed(opt) if args.distributed else True
     logging.info("Loading database %s", args.database_path)
     scene, vg = database_to_scene(read_database(args.database_path))
     tracks = GlobalMapper(opt).solve(scene, vg)
     if tracks is None:
         print("mapper failed", file=sys.stderr)
         return 1
+    if not primary:
+        return 0
     if args.image_path:
         from glomap_tpu.processors.color_extraction import extract_colors
         extract_colors(scene, tracks, args.image_path)
@@ -98,12 +115,15 @@ def run_mapper_resume(args, extra):
     from glomap_tpu.scene.view_graph import ViewGraph
 
     opt = _apply_dotted_flags(cfg.mapper_resume_options(), extra)
+    primary = _enter_distributed(opt) if args.distributed else True
     scene, tracks = model_to_scene(args.input_path)
     vg = ViewGraph()
     tracks = GlobalMapper(opt).solve(scene, vg, tracks)
     if tracks is None:
         print("mapper_resume failed", file=sys.stderr)
         return 1
+    if not primary:
+        return 0
     dirs = write_reconstruction(args.output_path, scene, tracks,
                                 binary=args.output_format == "bin")
     print(f"Reconstruction written to: {', '.join(dirs)}")
@@ -154,6 +174,10 @@ def main(argv=None):
     p.add_argument("--output_path", required=True)
     p.add_argument("--image_path", default="")
     p.add_argument("--output_format", default="bin", choices=["bin", "txt"])
+    p.add_argument("--distributed", action="store_true",
+                   help="join jax.distributed (GLOMAP_COORDINATOR / "
+                        "GLOMAP_NUM_PROCESSES / GLOMAP_PROCESS_ID env) "
+                        "and run solvers on the global device mesh")
     p.set_defaults(func=run_mapper)
 
     p = sub.add_parser("mapper_resume",
@@ -163,6 +187,9 @@ def main(argv=None):
     p.add_argument("--output_path", required=True)
     p.add_argument("--image_path", default="")
     p.add_argument("--output_format", default="bin", choices=["bin", "txt"])
+    p.add_argument("--distributed", action="store_true",
+                   help="join jax.distributed and run solvers on the "
+                        "global device mesh")
     p.set_defaults(func=run_mapper_resume)
 
     p = sub.add_parser("rotation_averager",

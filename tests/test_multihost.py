@@ -29,14 +29,15 @@ def _free_port():
     return port
 
 
-def _run_workers(n):
+def _run_workers(n, mode="ba", out_dir=""):
     port = _free_port()
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), str(n), str(port)],
+        [sys.executable, worker, str(pid), str(n), str(port), mode,
+         out_dir],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         text=True) for pid in range(n)]
     outs = []
@@ -45,6 +46,16 @@ def _run_workers(n):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
         outs.append(out)
     return outs
+
+
+def _checksums(outs):
+    vals = []
+    for out in outs:
+        m = re.search(r"MH_RESULT cost=(\S+) iters=(\d+) checksum=(\S+)",
+                      out)
+        assert m, f"no result line in worker output:\n{out[-3000:]}"
+        vals.append(float(m.group(3)))
+    return vals
 
 
 def test_two_process_partitioned_ba():
@@ -91,3 +102,70 @@ def test_two_process_partitioned_ba():
     cost, it = solve_ba_partitioned(scene, tracks, mesh, opts,
                                     dtype=jnp.float64)
     assert abs(cost - c0) / max(abs(cost), 1e-12) < 1e-8
+
+
+def test_two_process_partitioned_gp():
+    """Partitioned global positioning over the 2-process global mesh:
+    both processes observe the identical global solve, and it matches a
+    fresh single-process 8-device run (host-side plans and the GP random
+    init are bit-identical by design)."""
+    outs = _run_workers(2, mode="gp")
+    s0, s1 = _checksums(outs)
+    assert np.isfinite(s0)
+    np.testing.assert_allclose(s0, s1, rtol=1e-12)
+
+    import jax.numpy as jnp
+    from glomap_tpu.config import GlobalPositionerOptions
+    from glomap_tpu.estimators.global_positioning import \
+        solve_global_positioning
+    from glomap_tpu.parallel import mesh as meshmod
+    from tests.multihost_worker import make_problem
+
+    scene, vg, tracks = make_problem()
+    opts = GlobalPositionerOptions()
+    opts.max_num_iterations = 60
+    mesh = meshmod.make_mesh(8, axis="part")
+    assert solve_global_positioning(scene, vg, tracks, opts,
+                                    dtype=jnp.float64, mesh=mesh)
+    ref = float(np.sum(scene.frame_trans)) + \
+        float(np.sum(tracks.xyz[tracks.valid]))
+    np.testing.assert_allclose(ref, s0, rtol=1e-6)
+
+
+def test_two_process_sharded_ra():
+    """Edge-sharded rotation averaging over the 2-process global mesh
+    (partition-aware placement + exact ADMM L1 phase)."""
+    outs = _run_workers(2, mode="ra")
+    s0, s1 = _checksums(outs)
+    assert np.isfinite(s0)
+    np.testing.assert_allclose(s0, s1, rtol=1e-12)
+
+    import jax.numpy as jnp
+    from glomap_tpu.parallel import mesh as meshmod
+    from glomap_tpu.parallel.sharded_ra import solve_rotations_sharded
+    from tests.multihost_worker import make_problem
+
+    scene, vg, tracks = make_problem()
+    scene.frame_quat = np.tile([1.0, 0, 0, 0], (scene.num_frames, 1))
+    mesh = meshmod.make_mesh(8, axis="part")
+    assert solve_rotations_sharded(scene, vg, mesh, dtype=jnp.float64)
+    ref = float(np.sum(np.abs(scene.frame_quat)))
+    np.testing.assert_allclose(ref, s0, rtol=1e-6)
+
+
+def test_two_process_full_mapper(tmp_path):
+    """FULL mapper (RA + GP + staged BA on the global mesh) across 2
+    processes: each process writes the model it observed; the two written
+    model directories must match BIT-FOR-BIT (host-side plans and
+    fetched global arrays are identical in every process)."""
+    outs = _run_workers(2, mode="mapper", out_dir=str(tmp_path))
+    digests = []
+    for out in outs:
+        m = re.search(r"MH_RESULT digest=(\S+) reg=(\d+) tracks=(\d+)",
+                      out)
+        assert m, f"no result line in worker output:\n{out[-3000:]}"
+        digests.append((m.group(1), int(m.group(2)), int(m.group(3))))
+    (d0, r0, t0), (d1, r1, t1) = digests
+    assert r0 == r1 and r0 > 0
+    assert t0 == t1 and t0 > 0
+    assert d0 == d1, "written models differ between processes"
