@@ -80,6 +80,26 @@ def _concat_tracks(a: Tracks, b: Tracks) -> Tracks:
     )
 
 
+def _inlier_match_endpoints(scene: Scene, vg: ViewGraph):
+    """Global keypoint indices (kp1, kp2) of every valid inlier match.
+
+    The compress + gather preamble runs over ALL matches (8M+ on
+    bench-scale scenes, ~0.5 s) and is needed by completion AND merging
+    in EVERY refinement round, so it is cached on the view graph and
+    invalidated when the masks change (cheap checksum key)."""
+    key = (vg.num_matches, int(vg.pair_valid.sum()),
+           int(vg.match_inlier.sum()))
+    cache = getattr(vg, "_match_kp_cache", None)
+    if cache is not None and cache[0] == key:
+        return cache[1], cache[2]
+    use = vg.pair_valid[vg.match_pair] & vg.match_inlier
+    mp = vg.match_pair[use]
+    kp1 = scene.kp_offset[vg.pair_i[mp]] + vg.match_f1[use]
+    kp2 = scene.kp_offset[vg.pair_j[mp]] + vg.match_f2[use]
+    vg._match_kp_cache = (key, kp1, kp2)
+    return kp1, kp2
+
+
 def complete_tracks_from_matches(scene: Scene, vg: ViewGraph,
                                  tracks: Tracks, max_reproj_px: float,
                                  rounds: int = 3) -> int:
@@ -97,13 +117,9 @@ def complete_tracks_from_matches(scene: Scene, vg: ViewGraph,
     rows and re-sorts the obs arrays by (track, image). Returns
     #observations added."""
     import jax
-    from glomap_tpu.math import rotation as rotm
     from glomap_tpu.processors.track_filter import _img_from_cam_jit
 
-    use = vg.pair_valid[vg.match_pair] & vg.match_inlier
-    mp = vg.match_pair[use]
-    kp1 = scene.kp_offset[vg.pair_i[mp]] + vg.match_f1[use]
-    kp2 = scene.kp_offset[vg.pair_j[mp]] + vg.match_f2[use]
+    kp1, kp2 = _inlier_match_endpoints(scene, vg)
     kp_image = np.repeat(np.arange(scene.num_images, dtype=np.int64),
                          np.diff(scene.kp_offset))
     q_img, t_img = scene.image_cam_from_world()
@@ -204,10 +220,7 @@ def merge_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
 
     if tracks.num_obs == 0 or vg.num_pairs == 0:
         return 0
-    use = vg.pair_valid[vg.match_pair] & vg.match_inlier
-    mp = vg.match_pair[use]
-    mkp1 = scene.kp_offset[vg.pair_i[mp]] + vg.match_f1[use]
-    mkp2 = scene.kp_offset[vg.pair_j[mp]] + vg.match_f2[use]
+    mkp1, mkp2 = _inlier_match_endpoints(scene, vg)
     q_img, t_img = scene.image_cam_from_world()
     cpu = jax.local_devices(backend="cpu")[0]
 

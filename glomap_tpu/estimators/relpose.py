@@ -392,20 +392,17 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     max_hyp = max(int(opts.max_iterations), min_hyp)
     conf = 0.9999
 
-    # Active-set size buckets: P, ~P/4, ~P/16, ... floored at 64. Every
-    # distinct bucket is one remote compile of the chunk graph (minutes
-    # each through the tunnel) — 4x steps cap the shape count at
-    # ~log4(P/64) (< 7) while bounding padded waste at 4x.
-    size_buckets = []
-    s = P
-    while s > 64:
-        size_buckets.append(int(np.ceil(s / 64.0)) * 64)
-        s //= 4
-    size_buckets.append(64)
-
-    def active_bucket(n):
-        return min((b for b in size_buckets if b >= n),
-                   default=size_buckets[0])
+    # The active set is processed in fixed-size tiles through TWO
+    # compiled chunk graphs: every distinct active-set shape would be a
+    # separate remote compile of the RANSAC scan (~100 s each through
+    # the tunnel — 7 shape buckets measured 690 s cold), but a single
+    # big tile wastes a full-tile sweep on every tail chunk once only a
+    # handful of hard pairs remain (measured 2x on the warm bench). Big
+    # tiles carry the opening full-population chunks, the small tile
+    # carries the long adaptive tail.
+    from glomap_tpu.utils.padding import bucket_size
+    TILE_BIG = int(min(bucket_size(min(P, 2048), 64), 2048))
+    TILE_SMALL = min(256, TILE_BIG)
 
     key = jax.random.PRNGKey(seed)
     _t0 = _time.time()
@@ -415,16 +412,31 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     active = np.arange(P, dtype=np.int32)
     done = np.zeros(P, dtype=np.int64)
     n_chunks = 0
+    # Each device->host pull of best_cnt is a full tunnel round-trip
+    # (~0.1-0.2 s); syncing after EVERY chunk made the sync latency, not
+    # the RANSAC compute, the wall-clock. Chunks between syncs run on a
+    # stale active set (bounded extra hypotheses, never fewer), so the
+    # stopping rule stays exact while dispatches pipeline on-device.
+    sync_stride = 1
+    chunks_since_sync = 0
     while len(active):
-        pad_n = active_bucket(len(active))
-        idx = np.full(pad_n, P, dtype=np.int32)
-        idx[:len(active)] = active
-        key, sub = jax.random.split(key)
-        best_E, best_cnt = _ransac_chunk(
-            sub, tab, mask, counts_d, sq_thres, best_E, best_cnt,
-            jnp.asarray(idx), hyp_per_round, chunk_rounds)
+        tile = TILE_SMALL if len(active) <= 2 * TILE_SMALL else TILE_BIG
+        for t0 in range(0, len(active), tile):
+            sub_ids = active[t0:t0 + tile]
+            idx = np.full(tile, P, dtype=np.int32)
+            idx[:len(sub_ids)] = sub_ids
+            key, sub = jax.random.split(key)
+            best_E, best_cnt = _ransac_chunk(
+                sub, tab, mask, counts_d, sq_thres, best_E, best_cnt,
+                jnp.asarray(idx), hyp_per_round, chunk_rounds)
         done[active] += chunk_hyp
         n_chunks += 1
+        chunks_since_sync += 1
+        if chunks_since_sync < sync_stride and \
+                done[active].min() < max_hyp:
+            continue
+        chunks_since_sync = 0
+        sync_stride = min(sync_stride * 2, 4)
         # per-pair stopping number from the best inlier ratio so far
         cnt_np = np.asarray(best_cnt[:P])
         r = np.clip(cnt_np / counts_f, 0.0, 0.9999)

@@ -144,6 +144,22 @@ def _score_matches(num_pairs,
     return inlier, n_inl, score
 
 
+@partial(jax.jit, static_argnames=("num_matches",))
+def _match_indices(num_matches: int, offsets, pair_i, pair_j, kp_offset,
+                   f1, f2):
+    """Device-side (mp, kp1, kp2) from the compact per-match feature ids.
+
+    The (M,) int32 index uploads were the dominant cost of the inlier
+    sweep on bench scenes (3 x 8M x 4 B ≈ 100 MB at ~30-65 MB/s through
+    the tunnel ≈ 3 s): shipping only the two uint16 feature-id rows and
+    rebuilding mp/kp1/kp2 on device cuts the upload ~3x."""
+    mp = jnp.searchsorted(offsets[1:], jnp.arange(num_matches),
+                          side="right").astype(jnp.int32)
+    kp1 = kp_offset[pair_i[mp]].astype(jnp.int32) + f1.astype(jnp.int32)
+    kp2 = kp_offset[pair_j[mp]].astype(jnp.int32) + f2.astype(jnp.int32)
+    return mp, kp1, kp2
+
+
 def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
                              opts: InlierThresholds | None = None) -> None:
     """Classify every match, update vg.match_inlier / pair_num_inliers.
@@ -156,10 +172,17 @@ def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
         return
     from glomap_tpu.processors.undistortion import device_keypoints
     kp_rayT, kp_xyT = device_keypoints(scene)
-    kp1 = (scene.kp_offset[vg.pair_i[vg.match_pair]] +
-           vg.match_f1).astype(np.int32)
-    kp2 = (scene.kp_offset[vg.pair_j[vg.match_pair]] +
-           vg.match_f2).astype(np.int32)
+    # compact upload: uint16 feature ids when they fit (they do unless an
+    # image has >65535 keypoints), int32 otherwise
+    fdt = np.uint16 if (vg.match_f1.size == 0 or
+                        (vg.match_f1.max(initial=0) < 2 ** 16 and
+                         vg.match_f2.max(initial=0) < 2 ** 16)) else np.int32
+    mp, kp1, kp2 = _match_indices(
+        vg.num_matches, jnp.asarray(vg.pair_match_offset),
+        jnp.asarray(vg.pair_i), jnp.asarray(vg.pair_j),
+        jnp.asarray(scene.kp_offset),
+        jnp.asarray(vg.match_f1.astype(fdt)),
+        jnp.asarray(vg.match_f2.astype(fdt)))
     from glomap_tpu.ops import camera_models as cm
     f1 = cm.mean_focal(scene.cam_params[scene.image_camera[vg.pair_i]])
     f2 = cm.mean_focal(scene.cam_params[scene.image_camera[vg.pair_j]])
@@ -170,8 +193,7 @@ def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
         jnp.asarray(vg.pair_trans), jnp.asarray(vg.pair_F),
         jnp.asarray(vg.pair_H), jnp.asarray(vg.pair_valid),
         jnp.asarray(np.asarray(f1)), jnp.asarray(np.asarray(f2)),
-        jnp.asarray(vg.match_pair), kp_rayT, kp_xyT,
-        jnp.asarray(kp1), jnp.asarray(kp2),
+        mp, kp_rayT, kp_xyT, kp1, kp2,
         float(opts.max_epipolar_error_E), float(opts.max_epipolar_error_F),
         float(opts.max_epipolar_error_H))
 
