@@ -349,14 +349,13 @@ def retriangulate_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
     # TriangulateImage would seed fresh points from leftover features
     # (track_retriangulation.cc:59-122). This is what sustains the
     # reference's >=98%-observations oracle under outlier matches.
-    # during retriangulation the inconsistency filter must NOT kill fused
-    # components outright (reference track_establishment.cc:107-146 does,
-    # but its retriangulation bypasses the track engine entirely):
-    # RANSAC triangulation keeps each component's majority point and the
-    # next generation re-tracks the leftover — the bridge (outlier) match
-    # is excluded automatically because its other endpoint is explained.
+    # the consistency-aware union (track_establishment round-3) already
+    # refuses bridge unions, so retriangulation re-tracks with the
+    # standard inconsistency threshold; residual wrong-component
+    # keypoints (bridges accepted before their components grew) are
+    # handled by the RANSAC-majority + generational splitting below.
     from glomap_tpu.config import TrackEstablishmentOptions
-    te_opts = TrackEstablishmentOptions(thres_inconsistency=1e12)
+    te_opts = TrackEstablishmentOptions()
 
     merged: Tracks | None = None
     kp_mask = None

@@ -51,8 +51,25 @@ def establish_full_tracks(scene: Scene, vg: ViewGraph,
         kp1 = kp1[keep]
         kp2 = kp2[keep]
 
-    track_of_kp, num_tracks = native.establish_tracks(
-        scene.num_keypoints, kp1, kp2)
+    # Consistency-AWARE union (round-3): a union that would put two
+    # features of one image further apart than thres_inconsistency in
+    # the same track is refused — the joining match is a bridge between
+    # different physical points. The reference unions everything and
+    # discards inconsistent tracks wholesale
+    # (track_establishment.cc:107-146), which collapses on dense scenes:
+    # a few thousand epipolar-consistent wrong matches fuse >90% of
+    # keypoints into one giant discarded component (measured on the
+    # 100-frame/8M-match bench scene). Preventive rejection keeps every
+    # true track. Non-finite thresholds fall back to plain union-find
+    # (used by callers that WANT the raw transitive closure).
+    if np.isfinite(opts.thres_inconsistency) and \
+            opts.thres_inconsistency < 1e9:
+        track_of_kp, num_tracks = native.establish_tracks_consistent(
+            scene.num_keypoints, kp1, kp2, _kp_image_map(scene),
+            scene.kp_xy, opts.thres_inconsistency)
+    else:
+        track_of_kp, num_tracks = native.establish_tracks(
+            scene.num_keypoints, kp1, kp2)
 
     obs_kp = np.nonzero(track_of_kp >= 0)[0]
     obs_track = track_of_kp[obs_kp]

@@ -43,6 +43,12 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64)]
+        lib.glomap_establish_tracks_consistent.restype = ctypes.c_int64
+        lib.glomap_establish_tracks_consistent.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_double, ctypes.POINTER(ctypes.c_int64)]
         lib.glomap_select_tracks.restype = ctypes.c_int64
         lib.glomap_select_tracks.argtypes = [
             ctypes.c_int64, ctypes.c_int64,
@@ -85,6 +91,92 @@ def establish_tracks(num_kp: int, kp1: np.ndarray, kp2: np.ndarray):
             _ptr(kp2, ctypes.c_int64), _ptr(out, ctypes.c_int64))
         return out, int(n)
     return _establish_tracks_numpy(num_kp, kp1, kp2)
+
+
+def establish_tracks_consistent(num_kp: int, kp1: np.ndarray,
+                                kp2: np.ndarray, kp_image: np.ndarray,
+                                kp_xy: np.ndarray, thres: float):
+    """Consistency-aware union-find: a union is refused when the merged
+    component would hold two features of one image further apart than
+    `thres` (per-image bounding-box diagonal) — the joining match is a
+    bridge between different physical points. Keeps every true track
+    alive in the percolation regime where the reference's
+    union-then-discard collapses (see track_engine.cpp). Returns
+    (track_id per kp [-1 = none], count)."""
+    kp1 = np.ascontiguousarray(kp1, dtype=np.int64)
+    kp2 = np.ascontiguousarray(kp2, dtype=np.int64)
+    kp_image = np.ascontiguousarray(kp_image, dtype=np.int64)
+    kp_xy = np.ascontiguousarray(kp_xy, dtype=np.float64)
+    lib = get_lib()
+    if lib:
+        out = np.empty(num_kp, dtype=np.int64)
+        n = lib.glomap_establish_tracks_consistent(
+            num_kp, len(kp1), _ptr(kp1, ctypes.c_int64),
+            _ptr(kp2, ctypes.c_int64), _ptr(kp_image, ctypes.c_int64),
+            _ptr(kp_xy, ctypes.c_double), float(thres),
+            _ptr(out, ctypes.c_int64))
+        return out, int(n)
+    return _establish_tracks_consistent_python(num_kp, kp1, kp2, kp_image,
+                                               kp_xy, thres)
+
+
+def _establish_tracks_consistent_python(num_kp, kp1, kp2, kp_image, kp_xy,
+                                        thres):
+    """Sequential fallback (same semantics as the native path; fine for
+    test-scale inputs — the .so handles production match counts)."""
+    parent = np.arange(num_kp, dtype=np.int64)
+    maps = [None] * num_kp
+    t2 = float(thres) * float(thres)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def get_map(r):
+        if maps[r] is None:
+            x, y = kp_xy[r]
+            maps[r] = {int(kp_image[r]): [x, x, y, y]}
+        return maps[r]
+
+    for a0, b0 in zip(kp1, kp2):
+        a, b = find(a0), find(b0)
+        if a == b:
+            continue
+        ma, mb = get_map(a), get_map(b)
+        if len(mb) > len(ma):
+            a, b, ma, mb = b, a, mb, ma
+        ok = True
+        for img, bx in mb.items():
+            o = ma.get(img)
+            if o is None:
+                continue
+            dx = max(o[1], bx[1]) - min(o[0], bx[0])
+            dy = max(o[3], bx[3]) - min(o[2], bx[2])
+            if dx * dx + dy * dy > t2:
+                ok = False
+                break
+        if not ok:
+            continue
+        for img, bx in mb.items():
+            o = ma.get(img)
+            if o is None:
+                ma[img] = bx
+            else:
+                o[0] = min(o[0], bx[0])
+                o[1] = max(o[1], bx[1])
+                o[2] = min(o[2], bx[2])
+                o[3] = max(o[3], bx[3])
+        maps[b] = None
+        parent[b] = a
+
+    roots = np.asarray([find(i) for i in range(num_kp)], dtype=np.int64)
+    sizes = np.bincount(roots, minlength=num_kp)
+    is_track_root = (np.arange(num_kp) == roots) & (sizes >= 2)
+    remap = np.full(num_kp, -1, dtype=np.int64)
+    remap[is_track_root] = np.arange(int(is_track_root.sum()))
+    return remap[roots], int(is_track_root.sum())
 
 
 def _establish_tracks_numpy(num_kp, kp1, kp2):

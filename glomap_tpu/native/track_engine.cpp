@@ -9,8 +9,11 @@
 // Exposed via ctypes (see glomap_tpu/native/__init__.py).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
+#include <memory>
 #include <numeric>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -23,6 +26,21 @@ inline int64_t find_root(int64_t* parent, int64_t x) {
   }
   return x;
 }
+
+// Per-(component, image) feature bounding box for the consistency-aware
+// union: a component stays a valid track iff, per image, all its
+// features fit in a box whose diagonal is <= thres_inconsistency.
+struct Box {
+  float minx, maxx, miny, maxy;
+};
+
+inline bool box_ok(const Box& b, double thres) {
+  const double dx = b.maxx - b.minx;
+  const double dy = b.maxy - b.miny;
+  return dx * dx + dy * dy <= thres * thres;
+}
+
+using ImgMap = std::unordered_map<int64_t, Box>;
 
 }  // namespace
 
@@ -60,6 +78,99 @@ int64_t glomap_establish_tracks(int64_t num_kp, int64_t num_matches,
   int64_t num_tracks = 0;
   for (int64_t i = 0; i < num_kp; ++i) {
     if (parent[i] == i && touched[i]) root_to_track[i] = num_tracks++;
+  }
+  for (int64_t i = 0; i < num_kp; ++i) {
+    int64_t r = find_root(parent.data(), i);
+    track_id_out[i] = root_to_track[r];
+  }
+  return num_tracks;
+}
+
+// Consistency-aware union-find (round-3 upgrade of
+// glomap_establish_tracks): a union of two components is REJECTED when
+// the merged component would hold two features of the same image whose
+// bounding-box diagonal exceeds thres — i.e. when the joining match is a
+// bridge between different physical points. The reference instead unions
+// everything and DISCARDS inconsistent tracks wholesale
+// (track_establishment.cc:107-146), which collapses in the
+// percolation regime: a few thousand epipolar-consistent wrong matches
+// fuse >90% of all keypoints into one giant component on dense scenes
+// (measured: 3026 surviving wrong matches -> one 164k-keypoint
+// component on a 100-frame / 8M-match synthetic). Preventive rejection
+// keeps every true track alive while refusing exactly the bridges.
+//
+// kp_image: per-keypoint image index; kp_xy: per-keypoint pixel (2N).
+// Smaller-map-into-larger merging bounds total map traffic at
+// O(N log N). Deterministic for a fixed match order.
+int64_t glomap_establish_tracks_consistent(
+    int64_t num_kp, int64_t num_matches, const int64_t* kp1,
+    const int64_t* kp2, const int64_t* kp_image, const double* kp_xy,
+    double thres, int64_t* track_id_out) {
+  std::vector<int64_t> parent(num_kp);
+  std::iota(parent.begin(), parent.end(), 0);
+  std::vector<std::unique_ptr<ImgMap>> maps(num_kp);
+
+  auto singleton_box = [&](int64_t kp) {
+    const float x = static_cast<float>(kp_xy[2 * kp]);
+    const float y = static_cast<float>(kp_xy[2 * kp + 1]);
+    return Box{x, x, y, y};
+  };
+  auto ensure_map = [&](int64_t root) -> ImgMap* {
+    if (!maps[root]) {
+      maps[root] = std::make_unique<ImgMap>();
+      maps[root]->emplace(kp_image[root], singleton_box(root));
+    }
+    return maps[root].get();
+  };
+
+  for (int64_t m = 0; m < num_matches; ++m) {
+    int64_t a = find_root(parent.data(), kp1[m]);
+    int64_t b = find_root(parent.data(), kp2[m]);
+    if (a == b) continue;
+    ImgMap* ma = ensure_map(a);
+    ImgMap* mb = ensure_map(b);
+    if (mb->size() > ma->size()) {
+      std::swap(a, b);
+      std::swap(ma, mb);
+    }
+    // check pass: would any shared image's merged box break the bound?
+    bool ok = true;
+    for (const auto& [img, box] : *mb) {
+      auto it = ma->find(img);
+      if (it == ma->end()) continue;
+      Box merged{std::min(it->second.minx, box.minx),
+                 std::max(it->second.maxx, box.maxx),
+                 std::min(it->second.miny, box.miny),
+                 std::max(it->second.maxy, box.maxy)};
+      if (!box_ok(merged, thres)) {
+        ok = false;
+        break;
+      }
+    }
+    if (!ok) continue;  // bridge match: refuse the union
+    // commit: fold the smaller map into the larger, relink the root
+    for (const auto& [img, box] : *mb) {
+      auto [it, inserted] = ma->emplace(img, box);
+      if (!inserted) {
+        it->second.minx = std::min(it->second.minx, box.minx);
+        it->second.maxx = std::max(it->second.maxx, box.maxx);
+        it->second.miny = std::min(it->second.miny, box.miny);
+        it->second.maxy = std::max(it->second.maxy, box.maxy);
+      }
+    }
+    maps[b].reset();
+    parent[b] = a;
+  }
+
+  // mark roots that appear in at least one match AND have >= 2 members;
+  // number tracks contiguously
+  std::vector<int64_t> comp_size(num_kp, 0);
+  for (int64_t i = 0; i < num_kp; ++i)
+    comp_size[find_root(parent.data(), i)]++;
+  std::vector<int64_t> root_to_track(num_kp, -1);
+  int64_t num_tracks = 0;
+  for (int64_t i = 0; i < num_kp; ++i) {
+    if (parent[i] == i && comp_size[i] >= 2) root_to_track[i] = num_tracks++;
   }
   for (int64_t i = 0; i < num_kp; ++i) {
     int64_t r = find_root(parent.data(), i);
