@@ -293,6 +293,102 @@ def _l1_admm_phase(quats, fi, fj, q_rel, base_w, edge_valid, fixed,
     return q, it
 
 
+@partial(jax.jit, static_argnames=("num_frames",))
+def _dense_factor_relerr(fi, fj, base_w, edge_valid, num_frames: int,
+                         fixed):
+    """Health probe of the dense Cholesky factor the ADMM phase caches:
+    factor the pinned Laplacian, solve L x = L v for a known v, return
+    the relative error. O(F^2)+one factor — cheap next to the phase."""
+    dtype = base_w.dtype
+    w = jnp.where(edge_valid, base_w, 0.0)
+    L = linear.build_laplacian_dense(fi, fj, w * w, num_frames)
+    scale = jnp.maximum(jnp.mean(jnp.diag(L)), 1.0)
+    L = L + (1e-10 * scale) * jnp.eye(num_frames, dtype=dtype)
+    L, _ = linear.pin_node(L, jnp.zeros((num_frames, 1), dtype), fixed)
+    cfac = jax.scipy.linalg.cho_factor(L)
+    # probe with the SMOOTH mode (normalized linear ramp): on path-like
+    # capture graphs the near-nullspace of L is low-frequency, which is
+    # exactly where a half-precision factor loses everything — a
+    # high-frequency probe would report health on a useless factor
+    ar = jnp.arange(num_frames, dtype=dtype)
+    v = ((ar - jnp.mean(ar)) / num_frames)[:, None]
+    x = jax.scipy.linalg.cho_solve(cfac, L @ v)
+    return jnp.linalg.norm(x - v) / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+
+@partial(jax.jit, static_argnames=())
+def _l1_objective(quats, fi, fj, q_rel, base_w, edge_valid):
+    """Sum of weighted residual angles — the L1 phase's objective."""
+    w = jnp.where(edge_valid, base_w, 0.0)
+    qe = rotm.quat_mul(rotm.quat_conj(quats[fj]),
+                       rotm.quat_mul(q_rel, quats[fi]))
+    e = rotm.quat_to_angle_axis(qe)
+    return jnp.sum(w * jnp.linalg.norm(e, axis=-1))
+
+
+def l1_phase_guarded(quats, fi, fj, q_rel, base_w, valid, root,
+                     num_frames: int, opts, sigma_rad: float,
+                     use_dense: bool, grav_mask=None, sorted_ops=None,
+                     fallback_dense: bool | None = None):
+    """L1 phase: the EXACT reference ADMM where eligible, followed by an
+    L1-IRLS safety net, keeping the better L1 objective.
+
+    Why the net: the reference's cached-factor Boyd ADMM applies full
+    linearized steps for at most max_num_l1_iterations outer rounds — on
+    long path-like graphs with a poor MST init the linearization is
+    invalid and the phase diverges to garbage while still "decreasing"
+    the objective from an astronomical start (measured: 180 deg errors
+    at 10k frames in BOTH f32 and f64, i.e. the algorithm, not
+    precision). The L1-IRLS fixed point with per-sweep reweighting is
+    self-correcting on the same objective, so it runs afterwards and the
+    better of the two states wins; when the ADMM succeeded (the
+    reference's tested regime) the IRLS pass starts at the optimum and
+    exits after its minimum sweeps with the ADMM result intact."""
+    import logging
+    log = logging.getLogger(__name__)
+    sorted_ops = sorted_ops or {}
+    if use_dense and grav_mask is None:
+        # factor-health probe on the smooth mode (skips the phase when a
+        # half-precision factor of an ill-conditioned capture graph would
+        # make every inner solve useless)
+        relerr = float(_dense_factor_relerr(fi, fj, base_w, valid,
+                                            num_frames, root))
+        if relerr < 1e-2:
+            q_try, _ = _l1_admm_phase(
+                quats, fi, fj, q_rel, base_w, valid, root, num_frames,
+                max_outer=opts.max_num_l1_iterations,
+                conv_thresh=opts.l1_step_convergence_threshold)
+            before = float(_l1_objective(quats, fi, fj, q_rel, base_w,
+                                         valid))
+            after = float(_l1_objective(q_try, fi, fj, q_rel, base_w,
+                                        valid))
+            if np.isfinite(after) and after <= before:
+                quats = q_try
+            else:
+                log.warning(
+                    "L1 ADMM phase did not decrease the objective "
+                    "(%.3e -> %.3e) — discarding its result", before,
+                    after)
+        else:
+            log.warning(
+                "dense Laplacian factor relative error %.2e in %s — "
+                "skipping the ADMM L1 phase", relerr, str(quats.dtype))
+    if fallback_dense is None:
+        fallback_dense = use_dense and grav_mask is None
+    q_irls, _ = _irls_phase(
+        quats, fi, fj, q_rel, base_w, valid, root, num_frames,
+        max_iters=max(10 * opts.max_num_l1_iterations, 50),
+        weight_mode=WEIGHT_L1, sigma_rad=sigma_rad,
+        conv_thresh=0.1 * opts.l1_step_convergence_threshold,
+        use_dense=fallback_dense, min_iters=10,
+        grav_mask=grav_mask, **sorted_ops)
+    obj_cur = float(_l1_objective(quats, fi, fj, q_rel, base_w, valid))
+    obj_irls = float(_l1_objective(q_irls, fi, fj, q_rel, base_w, valid))
+    if np.isfinite(obj_irls) and obj_irls <= obj_cur:
+        return q_irls
+    return quats
+
+
 def build_sorted_edge_ops(fi: np.ndarray, fj: np.ndarray,
                           cap: int = 4096):
     """Host-side prep for the windowed PCG matvec: the doubled edge list
@@ -508,25 +604,17 @@ def estimate_rotations(scene, view_graph,
     # Phase 1 — L1 (robust against outlier edges). On the dense
     # unconstrained path this is the reference's exact algorithm: Boyd
     # ADMM against one cached Cholesky factor per phase
-    # (global_rotation_averaging.cc:479-538). Gravity-constrained or
-    # beyond-dense graphs fall back to L1-IRLS sweeps (same objective as
-    # a fixed-point iteration; projected-CG solves), with a
-    # minimum-iteration floor and a tighter per-sweep step threshold
-    # (L1-IRLS steps can be transiently tiny far from the optimum when
-    # outlier subtrees conflict).
-    if use_dense and grav_mask_d is None:
-        quats, _ = _l1_admm_phase(
-            quats, fi_d, fj_d, q_rel_d, base_w_d, valid_d, root,
-            num_frames, max_outer=opts.max_num_l1_iterations,
-            conv_thresh=opts.l1_step_convergence_threshold)
-    else:
-        quats, _ = _irls_phase(
-            quats, fi_d, fj_d, q_rel_d, base_w_d, valid_d, root, num_frames,
-            max_iters=max(10 * opts.max_num_l1_iterations, 50),
-            weight_mode=WEIGHT_L1, sigma_rad=sigma_rad,
-            conv_thresh=0.1 * opts.l1_step_convergence_threshold,
-            use_dense=use_dense, min_iters=10, grav_mask=grav_mask_d,
-            **sorted_ops)
+    # (global_rotation_averaging.cc:479-538), guarded by an
+    # objective-decrease check (see l1_phase_guarded — f32 conditioning).
+    # Gravity-constrained or beyond-dense graphs use L1-IRLS sweeps
+    # (same objective as a fixed-point iteration; projected-CG solves),
+    # with a minimum-iteration floor and a tighter per-sweep step
+    # threshold (L1-IRLS steps can be transiently tiny far from the
+    # optimum when outlier subtrees conflict).
+    quats = l1_phase_guarded(quats, fi_d, fj_d, q_rel_d, base_w_d,
+                             valid_d, root, num_frames, opts, sigma_rad,
+                             use_dense, grav_mask=grav_mask_d,
+                             sorted_ops=sorted_ops)
 
     # Phase 2 — reweighted least squares (Geman-McClure / half-norm).
     quats, _ = _irls_phase(

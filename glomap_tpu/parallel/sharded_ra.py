@@ -35,8 +35,8 @@ import jax.numpy as jnp
 
 from glomap_tpu.config import RotationEstimatorOptions
 from glomap_tpu.estimators.rotation_averaging import (
-    _DENSE_MAX_NODES, WEIGHT_GEMAN_MCCLURE, WEIGHT_HALF_NORM, WEIGHT_L1,
-    _init_from_mst, _irls_phase, _l1_admm_phase, build_frame_edges)
+    _DENSE_MAX_NODES, WEIGHT_GEMAN_MCCLURE, WEIGHT_HALF_NORM,
+    _init_from_mst, _irls_phase, build_frame_edges, l1_phase_guarded)
 from glomap_tpu.math import rotation as rotm
 from glomap_tpu.parallel import mesh as meshmod
 from glomap_tpu.utils.padding import bucket_size, pad_axis0
@@ -148,19 +148,13 @@ def solve_rotations_sharded(scene, view_graph, mesh=None,
     # L1 phase: EXACT reference ADMM wherever the single-device path
     # runs it (dense ceiling, unconstrained); the cached dense Cholesky
     # factor replicates across the mesh while the O(E) edge products
-    # shard — same algorithm, distributed.
-    if num_frames <= _DENSE_MAX_NODES and grav_mask_d is None:
-        quats, _ = _l1_admm_phase(
-            quats, fi_d, fj_d, q_rel_d, base_w_d, valid_d, root,
-            num_frames, max_outer=opts.max_num_l1_iterations,
-            conv_thresh=opts.l1_step_convergence_threshold)
-    else:
-        quats, _ = _irls_phase(
-            quats, fi_d, fj_d, q_rel_d, base_w_d, valid_d, root,
-            num_frames, max_iters=max(10 * opts.max_num_l1_iterations, 50),
-            weight_mode=WEIGHT_L1, sigma_rad=sigma_rad,
-            conv_thresh=0.1 * opts.l1_step_convergence_threshold,
-            use_dense=False, min_iters=10, grav_mask=grav_mask_d)
+    # shard — same algorithm, distributed, with the same
+    # objective-decrease guard + L1-IRLS fallback as single-device
+    # (estimators.rotation_averaging.l1_phase_guarded).
+    quats = l1_phase_guarded(
+        quats, fi_d, fj_d, q_rel_d, base_w_d, valid_d, root, num_frames,
+        opts, sigma_rad, use_dense=num_frames <= _DENSE_MAX_NODES,
+        grav_mask=grav_mask_d, fallback_dense=False)
     quats, _ = _irls_phase(
         quats, fi_d, fj_d, q_rel_d, base_w_d, valid_d, root, num_frames,
         max_iters=opts.max_num_irls_iterations, weight_mode=weight_mode,

@@ -106,6 +106,13 @@ def run_solver(fi, fj, q_rel, F, l1_mode, use_dense, dtype, sorted_ops=None,
         quats, _ = _l1_admm_phase(quats, fi_d, fj_d, q_rel_d, w_d, valid_d,
                                   root, F, max_outer=max_l1,
                                   conv_thresh=0.001)
+    elif l1_mode == "guarded":
+        from glomap_tpu.config import RotationEstimatorOptions
+        from glomap_tpu.estimators.rotation_averaging import \
+            l1_phase_guarded
+        quats = l1_phase_guarded(quats, fi_d, fj_d, q_rel_d, w_d, valid_d,
+                                 root, F, RotationEstimatorOptions(),
+                                 np.deg2rad(5.0), use_dense=use_dense)
     else:
         quats, _ = _irls_phase(quats, fi_d, fj_d, q_rel_d, w_d, valid_d,
                                root, F, max_iters=max(10 * max_l1, 50),
@@ -148,7 +155,7 @@ def main():
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") \
             else jnp.float32
         rows = []
-        for mode in ("admm", "irls"):
+        for mode in ("admm", "irls", "guarded"):
             q, wall, it = run_solver(fi, fj, q_rel, F, mode,
                                      use_dense=True, dtype=dtype)
             mx, med = max_pairwise_err_deg(q, q_gt)
@@ -162,6 +169,7 @@ def main():
             "noise_deg": 0.3, "outlier_ratio": 0.2,
             "admm_max_err_deg": round(rows[0][1], 3),
             "irlsl1_max_err_deg": round(rows[1][1], 3),
+            "guarded_max_err_deg": round(rows[2][1], 3),
             "reference_bound_deg": 1.5,
         }))
         return
