@@ -176,9 +176,9 @@ def main():
 
     if args.city:
         F = args.frames or 20000
-        deg = 50  # ~1M directed draws -> ~0.9M unique edges
+        deg = 80  # 1.6M directed draws -> ~1.1M unique edges
         fi, fj, q_rel, q_gt = synth_graph(F, deg=deg, noise_deg=1.0,
-                                          outlier_ratio=0.05, span=60)
+                                          outlier_ratio=0.05, span=90)
         print(f"# city graph: {F} frames, {len(fi)} edges",
               file=sys.stderr)
         jax.config.update("jax_compilation_cache_dir",
