@@ -28,7 +28,9 @@ import logging
 import numpy as np
 
 from glomap_tpu.config import TriangulatorOptions
-from glomap_tpu.controllers.track_establishment import establish_full_tracks
+from glomap_tpu.controllers.track_establishment import (
+    establish_full_tracks, inlier_match_endpoints as
+    _inlier_match_endpoints)
 from glomap_tpu.math import rotation as rotm
 from glomap_tpu.ops.triangulation import (ransac_triangulate_tracks,
                                           triangulate_tracks)
@@ -78,26 +80,6 @@ def _concat_tracks(a: Tracks, b: Tracks) -> Tracks:
         obs_feature=np.concatenate([a.obs_feature, b.obs_feature]),
         obs_valid=np.concatenate([a.obs_valid, b.obs_valid]),
     )
-
-
-def _inlier_match_endpoints(scene: Scene, vg: ViewGraph):
-    """Global keypoint indices (kp1, kp2) of every valid inlier match.
-
-    The compress + gather preamble runs over ALL matches (8M+ on
-    bench-scale scenes, ~0.5 s) and is needed by completion AND merging
-    in EVERY refinement round, so it is cached on the view graph and
-    invalidated when the masks change (cheap checksum key)."""
-    key = (vg.num_matches, int(vg.pair_valid.sum()),
-           int(vg.match_inlier.sum()))
-    cache = getattr(vg, "_match_kp_cache", None)
-    if cache is not None and cache[0] == key:
-        return cache[1], cache[2]
-    use = vg.pair_valid[vg.match_pair] & vg.match_inlier
-    mp = vg.match_pair[use]
-    kp1 = scene.kp_offset[vg.pair_i[mp]] + vg.match_f1[use]
-    kp2 = scene.kp_offset[vg.pair_j[mp]] + vg.match_f2[use]
-    vg._match_kp_cache = (key, kp1, kp2)
-    return kp1, kp2
 
 
 def complete_tracks_from_matches(scene: Scene, vg: ViewGraph,

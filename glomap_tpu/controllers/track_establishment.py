@@ -33,6 +33,27 @@ def _kp_image_map(scene: Scene) -> np.ndarray:
     return out
 
 
+def inlier_match_endpoints(scene: Scene, vg: ViewGraph):
+    """Global keypoint indices (kp1, kp2) of every valid inlier match.
+
+    The compress + gather preamble runs over ALL matches (8M+ on
+    bench-scale scenes, ~0.5 s) and is needed by track establishment
+    (3x per retriangulation), completion AND merging in every refinement
+    round — cached on the view graph, invalidated when the masks change
+    (cheap checksum key)."""
+    key = (vg.num_matches, int(vg.pair_valid.sum()),
+           int(vg.match_inlier.sum()))
+    cache = getattr(vg, "_match_kp_cache", None)
+    if cache is not None and cache[0] == key:
+        return cache[1], cache[2]
+    use = vg.pair_valid[vg.match_pair] & vg.match_inlier
+    mp = vg.match_pair[use]
+    kp1 = scene.kp_offset[vg.pair_i[mp]] + vg.match_f1[use]
+    kp2 = scene.kp_offset[vg.pair_j[mp]] + vg.match_f2[use]
+    vg._match_kp_cache = (key, kp1, kp2)
+    return kp1, kp2
+
+
 def establish_full_tracks(scene: Scene, vg: ViewGraph,
                           opts: TrackEstablishmentOptions | None = None,
                           kp_mask: np.ndarray | None = None) -> Tracks:
@@ -42,10 +63,7 @@ def establish_full_tracks(scene: Scene, vg: ViewGraph,
     accepted point (the flat-design counterpart of colmap's per-image
     triangulation seeding new points from leftover features)."""
     opts = opts or TrackEstablishmentOptions()
-    use = vg.pair_valid[vg.match_pair] & vg.match_inlier
-    mp = vg.match_pair[use]
-    kp1 = scene.kp_offset[vg.pair_i[mp]] + vg.match_f1[use]
-    kp2 = scene.kp_offset[vg.pair_j[mp]] + vg.match_f2[use]
+    kp1, kp2 = inlier_match_endpoints(scene, vg)
     if kp_mask is not None:
         keep = kp_mask[kp1] & kp_mask[kp2]
         kp1 = kp1[keep]
