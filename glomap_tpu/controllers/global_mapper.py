@@ -219,22 +219,35 @@ class GlobalMapper:
                 # complete + merge tracks against the refined geometry
                 # (colmap CompleteAndMergeTracks), then filter; stop when
                 # <0.05% changed
+                prev_valid = None
                 for _ref in range(5):
                     if not solve_bundle_adjustment(scene, tracks,
                                                    opt.opt_ba, mesh=mesh):
                         return None
                     num_obs = max(int(tracks.obs_valid.sum()), 1)
-                    changed = tf.complete_tracks(
+                    tf.complete_tracks(
                         scene, tracks,
                         opt.opt_triangulator.tri_complete_max_reproj_error)
-                    changed += merge_tracks(
+                    merge_tracks(
                         scene, view_graph, tracks,
                         opt.opt_triangulator.tri_merge_max_reproj_error)
-                    changed += tf.filter_tracks_by_reprojection(
+                    tf.filter_tracks_by_reprojection(
                         scene, tracks,
                         opt.inlier_thresholds.max_reprojection_error)
-                    if changed < 5e-4 * num_obs:
-                        break
+                    # NET end-of-round change (reference counts gross
+                    # complete+merge+filter events, which double-counts
+                    # the observations that oscillate between the loose
+                    # completion and the tight filter threshold every
+                    # round and so never converges below the 0.05% exit;
+                    # the fixed point of the round map is the honest
+                    # "reconstruction stopped changing" signal)
+                    if prev_valid is not None and \
+                            len(prev_valid) == len(tracks.obs_valid):
+                        changed = int(
+                            (prev_valid != tracks.obs_valid).sum())
+                        if changed < 5e-4 * num_obs:
+                            break
+                    prev_valid = tracks.obs_valid.copy()
             normalize_reconstruction(scene, tracks)
             tf.filter_tracks_by_reprojection(
                 scene, tracks, opt.inlier_thresholds.max_reprojection_error)

@@ -420,7 +420,14 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     sync_stride = 1
     chunks_since_sync = 0
     while len(active):
-        tile = TILE_SMALL if len(active) <= 2 * TILE_SMALL else TILE_BIG
+        # the adaptive tail (few hard pairs, many hypotheses to go) runs
+        # DEEPER chunks on the small tile: 4x the scan rounds per
+        # dispatch cuts the tunnel round-trips 4x for the pairs that are
+        # headed to the 50k cap anyway
+        if len(active) <= 2 * TILE_SMALL:
+            tile, rounds = TILE_SMALL, chunk_rounds * 4
+        else:
+            tile, rounds = TILE_BIG, chunk_rounds
         for t0 in range(0, len(active), tile):
             sub_ids = active[t0:t0 + tile]
             idx = np.full(tile, P, dtype=np.int32)
@@ -428,8 +435,8 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
             key, sub = jax.random.split(key)
             best_E, best_cnt = _ransac_chunk(
                 sub, tab, mask, counts_d, sq_thres, best_E, best_cnt,
-                jnp.asarray(idx), hyp_per_round, chunk_rounds)
-        done[active] += chunk_hyp
+                jnp.asarray(idx), hyp_per_round, rounds)
+        done[active] += rounds * hyp_per_round
         n_chunks += 1
         chunks_since_sync += 1
         if chunks_since_sync < sync_stride and \
