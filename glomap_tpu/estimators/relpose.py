@@ -50,6 +50,30 @@ from glomap_tpu.scene.view_graph import ViewGraph
 # ---------------------------------------------------------------------------
 
 
+def _sampson_tab_block(E9b, tab):
+    """Squared Sampson error for a BLOCK of hypotheses per pair.
+
+    E9b (P, HB, 9); tab components (P, cap) -> (P, HB, cap). Pure
+    broadcasting — one fused elementwise sweep for all HB hypotheses
+    (the per-hypothesis lax.map serialized 64 sweeps per scan round and
+    was 84% of the chunk's device time at ~zero HBM/MXU utilization,
+    scripts/profile_relpose.py)."""
+    e = [E9b[..., k:k + 1] for k in range(9)]  # (P, HB, 1)
+    x1, y1, z1, x2, y2, z2 = (c[:, None, :] for c in tab)  # (P, 1, cap)
+    iz1 = 1.0 / (z1 + 1e-12)
+    iz2 = 1.0 / (z2 + 1e-12)
+    a0, a1 = x1 * iz1, y1 * iz1
+    b0, b1 = x2 * iz2, y2 * iz2
+    Ex0 = e[0] * a0 + e[1] * a1 + e[2]
+    Ex1 = e[3] * a0 + e[4] * a1 + e[5]
+    Ex2 = e[6] * a0 + e[7] * a1 + e[8]
+    Et0 = e[0] * b0 + e[3] * b1 + e[6]
+    Et1 = e[1] * b0 + e[4] * b1 + e[7]
+    C = Ex0 * b0 + Ex1 * b1 + Ex2
+    denom = Ex0 * Ex0 + Ex1 * Ex1 + Et0 * Et0 + Et1 * Et1
+    return C * C / jnp.maximum(denom, 1e-12)
+
+
 def _sampson_tab(E9, tab):
     """Squared Sampson error over pair tables.
 
@@ -147,30 +171,51 @@ def _ransac_rounds(key, tab, mask, counts, sq_thres, init_E, init_cnt,
                                jnp.int32(2 ** 30))
         idx = u % jnp.maximum(counts, 1)[:, None].astype(jnp.int32)
 
+        # samples laid out (P, 8, H): the HYPOTHESIS axis rides the
+        # 128-lane minor dim, so every per-(pair, hypothesis) scalar of
+        # the nullspace/projection algebra below is a dense (P, H)
+        # array. The packed (P, H, 9, 9)-tensor formulation sliced those
+        # scalars as (P, H, 1, 1) tiles (T(1,128): one value per lane
+        # row, ~1/1000 VPU utilization) and that single fusion was 84%
+        # of the chunk's device time (scripts/profile_relpose.py).
         def take(c):
             return jnp.take_along_axis(c, idx, axis=1).reshape(
-                P, hyp_per_round, 8)
+                P, 8, hyp_per_round)
 
-        s1x, s1y, s1z = take(x1), take(y1), take(z1)
-        s2x, s2y, s2z = take(x2), take(y2), take(z2)
-        # epipolar constraint rows: kron(x1, x2)
-        r1 = jnp.stack([s1x, s1y, s1z], axis=-1)  # (P, H, 8, 3)
-        r2 = jnp.stack([s2x, s2y, s2z], axis=-1)
-        A = (r2[..., :, :, None] * r1[..., :, None, :]).reshape(
-            P, hyp_per_round, 8, 9)
-        AtA = jnp.einsum("phki,phkj->phij", A, A)
-        e = sa.min_eigvec9(AtA)  # (P, H, 9)
-        E = sa.essential_project(e.reshape(P, hyp_per_round, 3, 3))
-        E9 = E.reshape(P, hyp_per_round, 9)
+        s1 = (take(x1), take(y1), take(z1))
+        s2 = (take(x2), take(y2), take(z2))
+        # epipolar rows kron(x2, x1): A[k, 3i+j] = s2[i] s1[j]
+        A_c = [s2[a // 3] * s1[a % 3] for a in range(9)]
+        # normal-equation components (P, H): reduce over the 8 samples
+        AtA = [[None] * 9 for _ in range(9)]
+        for a in range(9):
+            for b in range(a, 9):
+                AtA[a][b] = AtA[b][a] = jnp.sum(A_c[a] * A_c[b], axis=1)
+        e9 = sa.min_eigvec9_c(AtA)                    # 9 x (P, H)
+        Ec = sa.essential_project_c(
+            [[e9[3 * i + j] for j in range(3)] for i in range(3)])
+        E9 = jnp.stack([Ec[i][j] for i in range(3) for j in range(3)],
+                       axis=-1)                       # (P, H, 9)
 
-        def score_h(h):
-            err = _sampson_tab(E9[:, h], tab)
-            return jnp.sum((err < thr) & mask, axis=1).astype(jnp.int32)
+        # block the scoring: HB hypotheses per fused broadcast sweep
+        # ((P, HB, cap) intermediates stay ~tens of MB), scanned over
+        # the blocks — per-hypothesis lax.map serialized 64 tiny sweeps
+        # and dominated the chunk (profile_relpose.py)
+        HB = min(8, hyp_per_round)
+        nb = hyp_per_round // HB
+        E9_blocks = jnp.moveaxis(
+            E9.reshape(P, nb, HB, 9), 1, 0)  # (nb, P, HB, 9)
 
-        cnts = jax.lax.map(score_h, jnp.arange(hyp_per_round))  # (H, P)
+        def score_blk(E9b):
+            err = _sampson_tab_block(E9b, tab)  # (P, HB, cap)
+            return jnp.sum((err < thr[:, None, :]) & mask[:, None, :],
+                           axis=2).astype(jnp.int32)
+
+        cnts_b = jax.lax.map(score_blk, E9_blocks)  # (nb, P, HB)
+        cnts = jnp.moveaxis(cnts_b, 0, 1).reshape(P, hyp_per_round).T
         h_best = jnp.argmax(cnts, axis=0)
         cnt_best = jnp.take_along_axis(cnts, h_best[None], axis=0)[0]
-        E_best = E[jnp.arange(P), h_best]
+        E_best = E9[jnp.arange(P), h_best].reshape(P, 3, 3)
         improve = cnt_best > best_cnt
         best_E = jnp.where(improve[:, None, None], E_best, best_E)
         best_cnt = jnp.where(improve, cnt_best, best_cnt)
@@ -422,8 +467,10 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     while len(active):
         # the adaptive tail (few hard pairs, many hypotheses to go) runs
         # DEEPER chunks on the small tile: 4x the scan rounds per
-        # dispatch cuts the tunnel round-trips 4x for the pairs that are
-        # headed to the 50k cap anyway
+        # dispatch cuts tunnel round-trips 4x for pairs headed to the
+        # 50k cap. (A 16x tail was measured WORSE: most tail pairs stop
+        # near 1-2k hypotheses, so the deep chunks overshoot the
+        # stopping rule ~2.6x in wasted device compute.)
         if len(active) <= 2 * TILE_SMALL:
             tile, rounds = TILE_SMALL, chunk_rounds * 4
         else:

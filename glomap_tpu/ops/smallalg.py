@@ -171,6 +171,158 @@ def cholesky_solve_unrolled(L, b_components, n: int):
     return x
 
 
+# ---------------------------------------------------------------------------
+# COMPONENT-FORM (lane-major) variants for the RANSAC hot path.
+#
+# The (..., n, n) packed variants above slice per-matrix scalars out of
+# the minor dims: on TPU a (P, H, 1, 1) scalar tensor is tiled T(1,128)
+# — every scalar padded to a full lane row, ~1/1000 VPU utilization.
+# One such fusion was 84% of the RANSAC chunk's device time
+# (scripts/profile_relpose.py). These variants keep every per-matrix
+# scalar as a DENSE batch-shaped array (component-indexed layout
+# (n, n, B) with the batch on the minor axis), so the unrolled algebra
+# is plain full-lane elementwise math.
+# ---------------------------------------------------------------------------
+
+
+def sym3x3_eigvec0_c(a00, a01, a02, a11, a12, a22):
+    """Unit eigenvector of the SMALLEST eigenvalue of symmetric 3x3
+    batches given as six dense component arrays. Returns (vx, vy, vz)
+    plus the eigenvalue. Cardano + degeneracy-robust row-cross pick —
+    the component-form core of sym3x3_eigh for callers that only need
+    the null direction."""
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22 +
+          2.0 * (a01 * a01 + a02 * a02 + a12 * a12))
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    ip = 1.0 / p
+    c00, c11, c22 = b00 * ip, b11 * ip, b22 * ip
+    c01, c02, c12 = a01 * ip, a02 * ip, a12 * ip
+    half_det = 0.5 * (c00 * (c11 * c22 - c12 * c12) -
+                      c01 * (c01 * c22 - c12 * c02) +
+                      c02 * (c01 * c12 - c11 * c02))
+    half_det = jnp.clip(half_det, -1.0, 1.0)
+    phi = jnp.arccos(half_det) / 3.0
+    two_pi_3 = 2.0943951023931953
+    lam = q + 2.0 * p * jnp.cos(phi + two_pi_3)  # smallest
+
+    # rows of (A - lam I); crosses computed componentwise
+    r0 = (a00 - lam, a01, a02)
+    r1 = (a01, a11 - lam, a12)
+    r2 = (a02, a12, a22 - lam)
+
+    def cross(u, v):
+        return (u[1] * v[2] - u[2] * v[1],
+                u[2] * v[0] - u[0] * v[2],
+                u[0] * v[1] - u[1] * v[0])
+
+    c01_ = cross(r0, r1)
+    c12_ = cross(r1, r2)
+    c20_ = cross(r2, r0)
+    n01 = c01_[0] ** 2 + c01_[1] ** 2 + c01_[2] ** 2
+    n12 = c12_[0] ** 2 + c12_[1] ** 2 + c12_[2] ** 2
+    n20 = c20_[0] ** 2 + c20_[1] ** 2 + c20_[2] ** 2
+    pick01 = n01 >= jnp.maximum(n12, n20)
+    pick12 = n12 >= n20
+    v = tuple(jnp.where(pick01, c01_[k],
+                        jnp.where(pick12, c12_[k], c20_[k]))
+              for k in range(3))
+    inv = 1.0 / jnp.sqrt(jnp.maximum(v[0] ** 2 + v[1] ** 2 + v[2] ** 2,
+                                     1e-30))
+    return (v[0] * inv, v[1] * inv, v[2] * inv), lam
+
+
+def essential_project_c(Ec):
+    """Project 3x3 batches onto the essential manifold, component form.
+
+    Ec: nested [i][j] dense component arrays. Returns the projected
+    components in the same layout (sigma = (1, 1, 0) exact for
+    near-essential inputs, same math as essential_project)."""
+    # EtE components (symmetric)
+    def col(j):
+        return (Ec[0][j], Ec[1][j], Ec[2][j])
+
+    def dot3(u, v):
+        return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+
+    g00 = dot3(col(0), col(0))
+    g01 = dot3(col(0), col(1))
+    g02 = dot3(col(0), col(2))
+    g11 = dot3(col(1), col(1))
+    g12 = dot3(col(1), col(2))
+    g22 = dot3(col(2), col(2))
+    v3, _ = sym3x3_eigvec0_c(g00, g01, g02, g11, g12, g22)
+
+    # deterministic tangent basis of the plane orthogonal to v3
+    use_x = jnp.abs(v3[0]) < 0.9
+    ax = jnp.where(use_x, 1.0, 0.0)
+    ay = jnp.where(use_x, 0.0, 1.0)
+    # t1 = unit(v3 x a), t2 = v3 x t1  (a has az = 0)
+    t1 = (-v3[2] * ay, v3[2] * ax, v3[0] * ay - v3[1] * ax)
+    inv = 1.0 / jnp.sqrt(jnp.maximum(
+        t1[0] ** 2 + t1[1] ** 2 + t1[2] ** 2, 1e-30))
+    t1 = (t1[0] * inv, t1[1] * inv, t1[2] * inv)
+    t2 = (v3[1] * t1[2] - v3[2] * t1[1],
+          v3[2] * t1[0] - v3[0] * t1[2],
+          v3[0] * t1[1] - v3[1] * t1[0])
+
+    def matvec(v):
+        return tuple(Ec[i][0] * v[0] + Ec[i][1] * v[1] + Ec[i][2] * v[2]
+                     for i in range(3))
+
+    u1 = matvec(t1)
+    inv = 1.0 / jnp.sqrt(jnp.maximum(
+        u1[0] ** 2 + u1[1] ** 2 + u1[2] ** 2, 1e-30))
+    u1 = (u1[0] * inv, u1[1] * inv, u1[2] * inv)
+    u2 = matvec(t2)
+    d = u2[0] * u1[0] + u2[1] * u1[1] + u2[2] * u1[2]
+    u2 = (u2[0] - d * u1[0], u2[1] - d * u1[1], u2[2] - d * u1[2])
+    inv = 1.0 / jnp.sqrt(jnp.maximum(
+        u2[0] ** 2 + u2[1] ** 2 + u2[2] ** 2, 1e-30))
+    u2 = (u2[0] * inv, u2[1] * inv, u2[2] * inv)
+
+    # E' = u1 t1^T + u2 t2^T
+    return [[u1[i] * t1[j] + u2[i] * t2[j] for j in range(3)]
+            for i in range(3)]
+
+
+def min_eigvec9_c(Ac, num_iters: int = 8):
+    """Smallest eigenvector of symmetric 9x9 batches, component form.
+
+    Ac: indexable [i][j] -> dense batch-shaped component array (e.g. a
+    (9, 9, B) jnp array or nested lists). Returns a list of 9 dense
+    components. Same inverse-iteration algorithm as min_eigvec9 with
+    every scalar a full-lane array."""
+    tr = sum(Ac[i][i] for i in range(9))
+    eps = 1e-8 * jnp.maximum(tr, 1e-30)
+
+    n = 9
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = Ac[j][j] + eps
+        for k in range(j):
+            d = d - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(d, 1e-12))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            v = Ac[i][j]
+            for k in range(j):
+                v = v - L[i][k] * L[j][k]
+            L[i][j] = v * inv_d
+
+    comps = [1.0 + 0.1 * Ac[i][i] / jnp.maximum(tr, 1e-30)
+             for i in range(n)]
+    for _ in range(num_iters):
+        comps = cholesky_solve_unrolled(L, comps, n)
+        nrm = comps[0] * comps[0]
+        for i in range(1, n):
+            nrm = nrm + comps[i] * comps[i]
+        inv = 1.0 / jnp.sqrt(jnp.maximum(nrm, 1e-30))
+        comps = [c * inv for c in comps]
+    return comps
+
+
 def min_eigvec9(AtA: jax.Array, num_iters: int = 8) -> jax.Array:
     """Smallest eigenvector of symmetric (..., 9, 9) batches.
 
