@@ -41,20 +41,29 @@ from glomap_tpu.scene.view_graph import (
     CONFIG_PANORAMIC, CONFIG_PLANAR_OR_PANORAMIC)
 
 
-@partial(jax.jit, static_argnames=("num_pairs",))
-def _score_matches(num_pairs,
+@partial(jax.jit, static_argnames=("num_pairs", "num_matches"))
+def _score_matches(num_pairs, num_matches,
                    # per-pair arrays
                    config, pair_q, pair_t, pair_F, pair_H, pair_valid,
                    focal1, focal2,
-                   # device-resident keypoints (lane-major) + indices
-                   mp, kp_rayT, kp_xyT, kp1, kp2,
+                   # device-resident keypoints (lane-major) + compact
+                   # per-match feature ids (uint16 when they fit)
+                   offsets, pair_i, pair_j, kp_offset, f1c, f2c,
+                   kp_rayT, kp_xyT,
                    # thresholds
                    thres_E, thres_F, thres_H):
-    """Returns (match_inlier, pair_num_inliers, pair_score).
+    """Returns (packed match_inlier bits, pair_num_inliers, pair_score).
 
     Keypoints stay device-resident (3/2, K); per-match data comes from
-    trailing-axis gathers by the (M,) index vectors — only ~8 bytes per
-    match cross the host->device tunnel instead of ~100."""
+    trailing-axis gathers by index vectors REBUILT ON DEVICE from the
+    two uint16 feature-id rows (the (M,) int32 uploads were ~100 MB at
+    8M matches) — and the inlier mask returns BIT-PACKED (M/8 bytes;
+    the 8 MB bool download through the ~25 MB/s tunnel was the longest
+    pole of the sweep)."""
+    mp = jnp.searchsorted(offsets[1:], jnp.arange(num_matches),
+                          side="right").astype(jnp.int32)
+    kp1 = kp_offset[pair_i[mp]].astype(jnp.int32) + f1c.astype(jnp.int32)
+    kp2 = kp_offset[pair_j[mp]].astype(jnp.int32) + f2c.astype(jnp.int32)
     ray1T = kp_rayT[:, kp1]
     ray2T = kp_rayT[:, kp2]
     one_row = jnp.ones((1, kp1.shape[0]), kp_xyT.dtype)
@@ -141,23 +150,7 @@ def _score_matches(num_pairs,
     n_inl = jax.ops.segment_sum(inlier.astype(jnp.int32), mp,
                                 num_segments=num_pairs)
     score = jax.ops.segment_sum(score_m, mp, num_segments=num_pairs)
-    return inlier, n_inl, score
-
-
-@partial(jax.jit, static_argnames=("num_matches",))
-def _match_indices(num_matches: int, offsets, pair_i, pair_j, kp_offset,
-                   f1, f2):
-    """Device-side (mp, kp1, kp2) from the compact per-match feature ids.
-
-    The (M,) int32 index uploads were the dominant cost of the inlier
-    sweep on bench scenes (3 x 8M x 4 B ≈ 100 MB at ~30-65 MB/s through
-    the tunnel ≈ 3 s): shipping only the two uint16 feature-id rows and
-    rebuilding mp/kp1/kp2 on device cuts the upload ~3x."""
-    mp = jnp.searchsorted(offsets[1:], jnp.arange(num_matches),
-                          side="right").astype(jnp.int32)
-    kp1 = kp_offset[pair_i[mp]].astype(jnp.int32) + f1.astype(jnp.int32)
-    kp2 = kp_offset[pair_j[mp]].astype(jnp.int32) + f2.astype(jnp.int32)
-    return mp, kp1, kp2
+    return jnp.packbits(inlier), n_inl, score
 
 
 def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
@@ -177,26 +170,25 @@ def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
     fdt = np.uint16 if (vg.match_f1.size == 0 or
                         (vg.match_f1.max(initial=0) < 2 ** 16 and
                          vg.match_f2.max(initial=0) < 2 ** 16)) else np.int32
-    mp, kp1, kp2 = _match_indices(
-        vg.num_matches, jnp.asarray(vg.pair_match_offset),
-        jnp.asarray(vg.pair_i), jnp.asarray(vg.pair_j),
-        jnp.asarray(scene.kp_offset),
-        jnp.asarray(vg.match_f1.astype(fdt)),
-        jnp.asarray(vg.match_f2.astype(fdt)))
     from glomap_tpu.ops import camera_models as cm
     f1 = cm.mean_focal(scene.cam_params[scene.image_camera[vg.pair_i]])
     f2 = cm.mean_focal(scene.cam_params[scene.image_camera[vg.pair_j]])
 
-    inlier, n_inl, score = _score_matches(
-        vg.num_pairs,
+    packed, n_inl, score = _score_matches(
+        vg.num_pairs, vg.num_matches,
         jnp.asarray(vg.pair_config), jnp.asarray(vg.pair_quat),
         jnp.asarray(vg.pair_trans), jnp.asarray(vg.pair_F),
         jnp.asarray(vg.pair_H), jnp.asarray(vg.pair_valid),
         jnp.asarray(np.asarray(f1)), jnp.asarray(np.asarray(f2)),
-        mp, kp_rayT, kp_xyT, kp1, kp2,
+        jnp.asarray(vg.pair_match_offset), jnp.asarray(vg.pair_i),
+        jnp.asarray(vg.pair_j), jnp.asarray(scene.kp_offset),
+        jnp.asarray(vg.match_f1.astype(fdt)),
+        jnp.asarray(vg.match_f2.astype(fdt)),
+        kp_rayT, kp_xyT,
         float(opts.max_epipolar_error_E), float(opts.max_epipolar_error_F),
         float(opts.max_epipolar_error_H))
 
-    vg.match_inlier = np.array(inlier, copy=True)
+    vg.match_inlier = np.unpackbits(
+        np.asarray(packed), count=vg.num_matches).astype(bool)
     vg.pair_num_inliers = np.array(n_inl, dtype=np.int64, copy=True)
     return np.array(score, dtype=np.float64, copy=True)
