@@ -18,23 +18,68 @@ import numpy as np
 from glomap_tpu import config as cfg
 
 
-def _apply_dotted_flags(opt, unknown_args):
-    """Map --Module.option=value / --Module.option value onto dataclasses."""
+# reference dotted-module prefixes -> our nested option fields
+_MODULE_ALIAS = {
+    "ViewGraphCalib": "opt_vgcalib",
+    "RelPoseEstimation": "opt_relpose",
+    "RotationEstimator": "opt_ra",
+    "RotationAveraging": "opt_ra",
+    "TrackEstablishment": "opt_track",
+    "GlobalPositioning": "opt_gp",
+    "BundleAdjustment": "opt_ba",
+    "Triangulation": "opt_triangulator",
+    "GravityRefiner": "opt_gravity_refiner",
+    "Thresholds": "inlier_thresholds",
+}
+
+# reference top-level flags (option_manager.cc:65-68) -> our fields
+_TOP_ALIAS = {
+    "ba_iteration_num": "num_iteration_bundle_adjustment",
+    "retriangulation_iteration_num": "num_iteration_retriangulation",
+}
+
+
+def _resolve_flag_name(name: str) -> str | None:
+    """Reference flag spelling -> dotted field path (None = consumed)."""
+    if name in _TOP_ALIAS:
+        return _TOP_ALIAS[name]
+    if name.endswith(".use_gpu") or name.endswith(".gpu_index"):
+        return None  # reference GPU toggles: always-on TPU here
+    parts = name.split(".")
+    if len(parts) == 2 and parts[0] in _MODULE_ALIAS:
+        field = parts[1]
+        # reference triangulation flags drop the tri_ prefix
+        if parts[0] == "Triangulation" and field in (
+                "complete_max_reproj_error", "merge_max_reproj_error",
+                "min_angle"):
+            field = "tri_" + field
+        return _MODULE_ALIAS[parts[0]] + "." + field
+    return name
+
+
+def _apply_log_flags(name: str, value: str) -> bool:
+    """Handle the reference's glog flags (option_manager.cc:23-24):
+    log_to_stderr (FLAGS_logtostderr) and log_level (FLAGS_v)."""
+    if name == "log_to_stderr":
+        # consumed no-op: python logging already writes to stderr by
+        # default (the glog counterpart toggles file vs stderr sinks)
+        return True
+    if name == "log_level":
+        # glog -v: 0 = default, >=1 = verbose
+        logging.getLogger().setLevel(
+            logging.DEBUG if int(value) >= 1 else logging.INFO)
+        return True
+    return False
+
+
+def _apply_dotted_flags(opt, unknown_args, flat_ok=False):
+    """Map --Module.option=value / --Module.option value onto dataclasses,
+    accepting the reference OptionManager's exact flag spellings
+    (option_manager.cc AddAndRegister*Option names, incl. the top-level
+    ba_iteration_num / retriangulation_iteration_num / log_* flags).
+    flat_ok: `opt` is a flat (non-nested) options object — dotted module
+    prefixes fall back to the bare field name (rotation_averager)."""
     i = 0
-    flat = cfg.flatten_options(opt)
-    # map reference dotted names to our nested fields
-    alias = {
-        "ViewGraphCalib": "opt_vgcalib",
-        "RelPoseEstimation": "opt_relpose",
-        "RotationEstimator": "opt_ra",
-        "RotationAveraging": "opt_ra",
-        "TrackEstablishment": "opt_track",
-        "GlobalPositioning": "opt_gp",
-        "BundleAdjustment": "opt_ba",
-        "Triangulation": "opt_triangulator",
-        "GravityRefiner": "opt_gravity_refiner",
-        "Thresholds": "inlier_thresholds",
-    }
     while i < len(unknown_args):
         arg = unknown_args[i]
         if not arg.startswith("--"):
@@ -48,27 +93,56 @@ def _apply_dotted_flags(opt, unknown_args):
             name = body
             value = unknown_args[i + 1] if i + 1 < len(unknown_args) else ""
             i += 2
-        parts = name.split(".")
-        if len(parts) == 2 and parts[0] in alias:
-            field = parts[1]
-            # reference triangulation flags drop the tri_ prefix
-            if parts[0] == "Triangulation" and field in (
-                    "complete_max_reproj_error", "merge_max_reproj_error",
-                    "min_angle"):
-                field = "tri_" + field
-            name = alias[parts[0]] + "." + field
-        if name.endswith(".use_gpu") or name.endswith(".gpu_index"):
-            continue  # reference GPU toggles: always-on TPU here
+        if _apply_log_flags(name, value):
+            continue
+        name = _resolve_flag_name(name)
+        if name is None:
+            continue
         try:
             cfg.set_option(opt, name, value)
         except AttributeError:
-            # the reference's boost::program_options rejects unknown
-            # options outright (option_manager.cc Parse) — a typo'd flag
-            # must not silently run with defaults
-            print(f"error: unrecognised option '--{name}'",
-                  file=sys.stderr)
-            raise SystemExit(2)
+            try:
+                if not flat_ok:
+                    raise AttributeError(name)
+                cfg.set_option(opt, name.split(".")[-1], value)
+            except AttributeError:
+                # the reference's boost::program_options rejects unknown
+                # options outright (option_manager.cc Parse) — a typo'd
+                # flag must not silently run with defaults
+                print(f"error: unrecognised option '--{name}'",
+                      file=sys.stderr)
+                raise SystemExit(2)
     return opt
+
+
+def _registry_epilog(opt) -> str:
+    """--help dump of the dotted-flag registry with defaults (the
+    reference prints its program_options description,
+    option_manager.cc:322-327)."""
+    # display prefixes: our nested field -> the reference module name
+    rev = {}
+    for mod, fld in _MODULE_ALIAS.items():
+        rev.setdefault(fld, mod)
+    rev_top = {v: k for k, v in _TOP_ALIAS.items()}
+    lines = ["The following options can be specified via command-line:",
+             "  --log_to_stderr (default: false)",
+             "  --log_level (default: 0)"]
+    for name, val in cfg.flatten_options(opt).items():
+        parts = name.split(".")
+        if len(parts) == 2 and parts[0] in rev:
+            field = parts[1]
+            if parts[0] == "opt_triangulator" and field.startswith("tri_") \
+                    and field in ("tri_complete_max_reproj_error",
+                                  "tri_merge_max_reproj_error",
+                                  "tri_min_angle"):
+                field = field[4:]
+            disp = rev[parts[0]] + "." + field
+        else:
+            disp = rev_top.get(name, name)
+        if isinstance(val, bool):
+            val = str(val).lower()
+        lines.append(f"  --{disp} (default: {val})")
+    return "\n".join(lines)
 
 
 def _enter_distributed(opt):
@@ -91,6 +165,8 @@ def run_mapper(args, extra):
     from glomap_tpu.io.database import read_database
 
     opt = _apply_dotted_flags(cfg.GlobalMapperOptions(), extra)
+    if args.checkpoint_dir:
+        opt.checkpoint_dir = args.checkpoint_dir
     primary = _enter_distributed(opt) if args.distributed else True
     logging.info("Loading database %s", args.database_path)
     scene, vg = database_to_scene(read_database(args.database_path))
@@ -115,6 +191,8 @@ def run_mapper_resume(args, extra):
     from glomap_tpu.scene.view_graph import ViewGraph
 
     opt = _apply_dotted_flags(cfg.mapper_resume_options(), extra)
+    if args.checkpoint_dir:
+        opt.checkpoint_dir = args.checkpoint_dir
     primary = _enter_distributed(opt) if args.distributed else True
     scene, tracks = model_to_scene(args.input_path)
     vg = ViewGraph()
@@ -139,7 +217,7 @@ def run_rotation_averager(args, extra):
 
     opts = RotationAveragerOptions()
     opts.use_gravity = bool(args.gravity_path)
-    _apply_dotted_flags(opts, extra)
+    _apply_dotted_flags(opts, extra, flat_ok=True)
 
     scene = Scene()
     vg = pose_io.read_rel_pose(args.relpose_path, scene)
@@ -169,11 +247,16 @@ def main(argv=None):
                     "(GLOMAP capabilities on JAX/XLA/Pallas)")
     sub = parser.add_subparsers(dest="command", required=True)
 
-    p = sub.add_parser("mapper", help="full global SfM from a COLMAP db")
+    p = sub.add_parser("mapper", help="full global SfM from a COLMAP db",
+                       epilog=_registry_epilog(cfg.GlobalMapperOptions()),
+                       formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--database_path", required=True)
     p.add_argument("--output_path", required=True)
     p.add_argument("--image_path", default="")
     p.add_argument("--output_format", default="bin", choices=["bin", "txt"])
+    p.add_argument("--checkpoint_dir", default="",
+                   help="write stage_NN.npz after every pipeline stage "
+                        "and auto-resume from the latest on restart")
     p.add_argument("--distributed", action="store_true",
                    help="join jax.distributed (GLOMAP_COORDINATOR / "
                         "GLOMAP_NUM_PROCESSES / GLOMAP_PROCESS_ID env) "
@@ -182,11 +265,16 @@ def main(argv=None):
 
     p = sub.add_parser("mapper_resume",
                        help="resume from an existing reconstruction "
-                            "(global positioning + BA only)")
+                            "(global positioning + BA only)",
+                       epilog=_registry_epilog(cfg.mapper_resume_options()),
+                       formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--input_path", required=True)
     p.add_argument("--output_path", required=True)
     p.add_argument("--image_path", default="")
     p.add_argument("--output_format", default="bin", choices=["bin", "txt"])
+    p.add_argument("--checkpoint_dir", default="",
+                   help="write stage_NN.npz after every pipeline stage "
+                        "and auto-resume from the latest on restart")
     p.add_argument("--distributed", action="store_true",
                    help="join jax.distributed and run solvers on the "
                         "global device mesh")

@@ -198,6 +198,12 @@ class GlobalMapperOptions:
     # TPU execution knobs (new; no reference counterpart)
     solver_dtype: str = "float64"   # float64 on CPU tests, float32 on TPU
     device_mesh_shape: Optional[tuple] = None  # e.g. (8,) for 8-chip DP/SP
+    # Stage-boundary npz checkpoints (SURVEY.md §5 checkpoint/resume):
+    # when set, GlobalMapper writes <dir>/stage_NN.npz after every
+    # completed stage and auto-resumes from the latest one on the next
+    # run (exact mid-pipeline state — finer than the reference's
+    # mapper_resume, which restarts from a written COLMAP model)
+    checkpoint_dir: str = ""
 
 
 def mapper_resume_options() -> GlobalMapperOptions:

@@ -64,8 +64,21 @@ class GlobalMapper:
             cm.__enter__()
             _stack.append(cm)
 
+        # stage-boundary checkpoint/resume (SURVEY.md §5): stage_NN.npz
+        # holds the exact state after stage NN; the next run with the
+        # same checkpoint_dir resumes at NN+1
+        start_stage = 0
+        if opt.checkpoint_dir:
+            start_stage, tracks = _maybe_resume(
+                opt.checkpoint_dir, scene, view_graph, tracks)
+
+        def ckpt(idx):
+            if opt.checkpoint_dir:
+                _write_stage_checkpoint(opt.checkpoint_dir, idx, scene,
+                                        view_graph, tracks)
+
         # 0. Preprocessing
-        if not opt.skip_preprocessing:
+        if start_stage <= 0 and not opt.skip_preprocessing:
             stage("preprocessing")
             from glomap_tpu.processors.view_graph_manipulation import (
                 update_image_pairs_config, decompose_rel_pose,
@@ -76,16 +89,20 @@ class GlobalMapper:
             update_image_pairs_config(scene, view_graph)
             decompose_rel_pose(scene, view_graph)
 
+        ckpt(0)
+
         # 1. View graph calibration
-        if not opt.skip_view_graph_calibration:
+        if start_stage <= 1 and not opt.skip_view_graph_calibration:
             stage("view graph calibration")
             from glomap_tpu.estimators.view_graph_calibration import (
                 calibrate_view_graph)
             if not calibrate_view_graph(scene, view_graph, opt.opt_vgcalib):
                 return None
 
+        ckpt(1)
+
         # 2. Relative pose estimation
-        if not opt.skip_relative_pose_estimation:
+        if start_stage <= 2 and not opt.skip_relative_pose_estimation:
             stage("relative pose estimation")
             import time as _time
             _t0 = _time.monotonic()
@@ -108,8 +125,10 @@ class GlobalMapper:
                 logger.error("no connected components are found")
                 return None
 
+        ckpt(2)
+
         # 3. Rotation averaging (filter pass + final pass)
-        if not opt.skip_rotation_averaging:
+        if start_stage <= 3 and not opt.skip_rotation_averaging:
             stage("rotation averaging")
             ra_opts = RotationAveragerOptions(**{
                 f: getattr(opt.opt_ra, f)
@@ -133,8 +152,10 @@ class GlobalMapper:
             logger.info("%d / %d images within the connected component",
                         num_img, scene.num_images)
 
+        ckpt(3)
+
         # 4. Track establishment and selection
-        if not opt.skip_track_establishment:
+        if start_stage <= 4 and not opt.skip_track_establishment:
             stage("track establishment")
             tracks_full = te.establish_full_tracks(scene, view_graph,
                                                    opt.opt_track)
@@ -144,9 +165,10 @@ class GlobalMapper:
                         tracks_full.num_tracks, tracks.num_tracks)
         if tracks is None:
             tracks = Tracks()
+        ckpt(4)
 
         # 5. Global positioning
-        if not opt.skip_global_positioning:
+        if start_stage <= 5 and not opt.skip_global_positioning:
             stage("global positioning")
             if opt.opt_gp.constraint_type != "ONLY_POINTS":
                 logger.error("Only points are used for camera positions")
@@ -164,11 +186,14 @@ class GlobalMapper:
                 10 * opt.inlier_thresholds.max_reprojection_error)
             normalize_reconstruction(scene, tracks)
 
+        ckpt(5)
+
         # 6. Iterated staged bundle adjustment
-        if not opt.skip_bundle_adjustment:
+        if start_stage <= 6 and not opt.skip_bundle_adjustment:
             stage("bundle adjustment")
             ite = 0
             while ite < opt.num_iteration_bundle_adjustment:
+                prev_cam_params = scene.cam_params.copy()
                 ba_opts_tr = _copy_opts(opt.opt_ba)
                 ba_opts_tr.optimize_rotations = False
                 if not solve_bundle_adjustment(scene, tracks, ba_opts_tr,
@@ -184,6 +209,14 @@ class GlobalMapper:
                             opt.num_iteration_bundle_adjustment)
 
                 normalize_reconstruction(scene, tracks)
+
+                # BA moved the intrinsics: refresh the undistorted rays
+                # BEFORE the normalized-space reprojection filter, which
+                # compares against rays lifted with the current focals
+                # (reference re-runs UndistortImages inside the loop,
+                # global_mapper.cc:237-238) — skipped only when the
+                # params are bit-identical (optimize_intrinsics=False)
+                _refresh_rays(scene, prev_cam_params)
 
                 # progressive filtering with early exit (<0.1% filtered)
                 status = True
@@ -201,13 +234,17 @@ class GlobalMapper:
                     logger.info("fewer than 0.1%% tracks filtered, stop")
                     break
 
+            # final filter at the tight threshold, against rays lifted
+            # with the FINAL intrinsics (global_mapper.cc:263-264)
             tf.filter_tracks_by_reprojection(
                 scene, tracks, opt.inlier_thresholds.max_reprojection_error)
             tf.filter_tracks_by_triangulation_angle(
                 scene, tracks, opt.inlier_thresholds.min_triangulation_angle)
 
+        ckpt(6)
+
         # 7. Retriangulation
-        if not opt.skip_retriangulation:
+        if start_stage <= 7 and not opt.skip_retriangulation:
             stage("retriangulation")
             from glomap_tpu.controllers.retriangulation import (
                 merge_tracks, retriangulate_tracks)
@@ -219,11 +256,17 @@ class GlobalMapper:
                 # complete + merge tracks against the refined geometry
                 # (colmap CompleteAndMergeTracks), then filter; stop when
                 # <0.05% changed
-                prev_valid = None
+                prev_keys = None
                 for _ref in range(5):
+                    prev_cam_params = scene.cam_params.copy()
                     if not solve_bundle_adjustment(scene, tracks,
                                                    opt.opt_ba, mesh=mesh):
                         return None
+                    # intrinsics moved -> refresh rays before the
+                    # complete/merge/filter passes (mirrors the
+                    # re-undistortion the reference's colmap BA loop
+                    # performs, global_mapper.cc:237-238)
+                    _refresh_rays(scene, prev_cam_params)
                     num_obs = max(int(tracks.obs_valid.sum()), 1)
                     tf.complete_tracks(
                         scene, tracks,
@@ -240,22 +283,28 @@ class GlobalMapper:
                     # completion and the tight filter threshold every
                     # round and so never converges below the 0.05% exit;
                     # the fixed point of the round map is the honest
-                    # "reconstruction stopped changing" signal)
-                    if prev_valid is not None and \
-                            len(prev_valid) == len(tracks.obs_valid):
-                        changed = int(
-                            (prev_valid != tracks.obs_valid).sum())
+                    # "reconstruction stopped changing" signal). Compared
+                    # as the canonical set of valid (track, keypoint)
+                    # keys — merge/complete re-sort and grow the flat obs
+                    # arrays, so a position-wise mask comparison would
+                    # see a permutation as change
+                    keys = _valid_obs_keys(scene, tracks)
+                    if prev_keys is not None:
+                        changed = len(np.setxor1d(keys, prev_keys,
+                                                  assume_unique=True))
                         if changed < 5e-4 * num_obs:
                             break
-                    prev_valid = tracks.obs_valid.copy()
+                    prev_keys = keys
             normalize_reconstruction(scene, tracks)
             tf.filter_tracks_by_reprojection(
                 scene, tracks, opt.inlier_thresholds.max_reprojection_error)
             tf.filter_tracks_by_triangulation_angle(
                 scene, tracks, opt.inlier_thresholds.min_triangulation_angle)
 
+        ckpt(7)
+
         # 8. Pruning
-        if not opt.skip_pruning:
+        if start_stage <= 8 and not opt.skip_pruning:
             stage("pruning")
             from glomap_tpu.processors.pruning import (
                 prune_weakly_connected_images)
@@ -270,3 +319,67 @@ class GlobalMapper:
 def _copy_opts(o):
     import copy
     return copy.deepcopy(o)
+
+
+def _write_stage_checkpoint(ckpt_dir: str, stage_idx: int, scene, vg,
+                            tracks) -> None:
+    """stage_NN.npz = exact pipeline state after stage NN completed."""
+    import os
+    from glomap_tpu.io.checkpoint import save_checkpoint
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"stage_{stage_idx:02d}.npz")
+    save_checkpoint(path, scene, vg, tracks,
+                    next_stage=np.int64(stage_idx + 1))
+    logger.info("checkpoint written: %s", path)
+
+
+def _copy_state_into(dst, src) -> None:
+    """Rebind every dataclass field of dst to src's arrays and drop any
+    derived device/host caches keyed on the old arrays."""
+    import dataclasses
+    for f in dataclasses.fields(dst):
+        setattr(dst, f.name, getattr(src, f.name))
+    for cache in ("_kp_rayT_dev", "_kp_xyT_dev", "_match_kp_cache"):
+        if hasattr(dst, cache):
+            setattr(dst, cache, None)
+
+
+def _maybe_resume(ckpt_dir: str, scene, vg, tracks):
+    """Load the latest stage_NN.npz from ckpt_dir (if any) into the
+    caller's scene/view-graph objects; returns (start_stage, tracks)."""
+    import glob
+    import os
+    from glomap_tpu.io.checkpoint import load_checkpoint
+    found = sorted(glob.glob(os.path.join(ckpt_dir, "stage_*.npz")))
+    if not found:
+        return 0, tracks
+    path = found[-1]
+    scene2, vg2, tracks2, extra = load_checkpoint(path)
+    _copy_state_into(scene, scene2)
+    if vg2 is not None:
+        _copy_state_into(vg, vg2)
+    start_stage = int(extra.get("next_stage", 0))
+    logger.info("resuming from checkpoint %s at stage %d", path,
+                start_stage)
+    return start_stage, (tracks2 if tracks2 is not None else tracks)
+
+
+def _refresh_rays(scene: Scene, prev_cam_params: np.ndarray) -> None:
+    """Re-lift keypoint rays when BA moved the intrinsics (the
+    normalized-space filters and retriangulation consume scene.kp_ray,
+    which must be lifted with the CURRENT camera params — reference
+    global_mapper.cc:237-238,263-264 re-runs UndistortImages)."""
+    if np.array_equal(prev_cam_params, scene.cam_params):
+        return
+    undistort_images(scene)
+
+
+def _valid_obs_keys(scene: Scene, tracks: Tracks) -> np.ndarray:
+    """Canonical identity of the valid observation set: sorted unique
+    (track, global-keypoint) keys, permutation-invariant under the obs
+    re-sorts that complete/merge perform."""
+    ok = tracks.obs_valid & tracks.valid[tracks.obs_track]
+    kp = (scene.kp_offset[tracks.obs_image[ok]] +
+          tracks.obs_feature[ok]).astype(np.int64)
+    return np.unique(tracks.obs_track[ok].astype(np.int64) *
+                     np.int64(scene.num_keypoints) + kp)

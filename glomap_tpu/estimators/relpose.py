@@ -454,7 +454,14 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     best_E = jnp.zeros((P + 1, 3, 3), dtype)
     best_cnt = jnp.zeros((P + 1,), jnp.int32)
     counts_f = np.maximum(counts.astype(np.float64), 1.0)
-    active = np.arange(P, dtype=np.int32)
+    # only pairs that can yield a result enter the hypothesis loop:
+    # invalid pairs (all-false mask => inlier count pinned at 0 =>
+    # stopping number inf) would otherwise burn the full 50k budget on
+    # results that are discarded anyway, and 8-point sampling needs >= 8
+    # matches (real DBs mark UNDEFINED/DEGENERATE/WATERMARK pairs
+    # invalid at ingestion — io/convert.py)
+    eligible = vg.pair_valid & (counts >= 8)
+    active = np.nonzero(eligible)[0].astype(np.int32)
     done = np.zeros(P, dtype=np.int64)
     n_chunks = 0
     # Each device->host pull of best_cnt is a full tunnel round-trip
@@ -502,7 +509,7 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
                 np.log1p(-np.minimum(p_sample, 0.999999)),
                 np.inf)
         target = np.clip(needed, min_hyp, max_hyp)
-        active = np.nonzero(done < target)[0].astype(np.int32)
+        active = np.nonzero(eligible & (done < target))[0].astype(np.int32)
     best_E = best_E[:P]
     jax.block_until_ready(best_E)
     _t1 = _time.time()
@@ -519,6 +526,10 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
               int(done.mean()) if len(done) else 0,
               int(done.max()) if len(done) else 0,
               _t2 - _t1, _time.time() - _t2)
+
+    # diagnostics: hypotheses actually spent per pair (tests assert the
+    # adaptive stopping numbers; ineligible pairs must stay at 0)
+    vg._relpose_budget = done.copy()
 
     vg.pair_quat = np.array(q, dtype=np.float64, copy=True)
     vg.pair_trans = np.array(t, dtype=np.float64, copy=True)

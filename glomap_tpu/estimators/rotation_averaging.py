@@ -55,7 +55,7 @@ _DENSE_MAX_NODES = 12288
 def _irls_phase(quats, fi, fj, q_rel, base_w, edge_valid, fixed,
                 num_frames: int, max_iters: int, weight_mode: int,
                 sigma_rad: float, conv_thresh: float, use_dense: bool,
-                min_iters: int = 1, grav_mask=None,
+                min_iters: int = 1, grav_mask=None, grav_axis=None,
                 # city-scale PCG matvec (>_DENSE_MAX_NODES frames): the
                 # DOUBLED edge list sorted by source node, so both
                 # directions of every Laplacian apply run as the Pallas
@@ -67,9 +67,11 @@ def _irls_phase(quats, fi, fj, q_rel, base_w, edge_valid, fixed,
     """One robust phase (L1 or reweighted-L2). Returns (quats, num_iters).
 
     grav_mask (F,) in {0,1}: frames with 1 constrain their tangent update
-    to the local up axis e_y (gravity-aligned 1-DoF parameterization,
-    reference global_rotation_averaging.cc gravity rows). Solved with a
-    projected CG instead of the dense Kronecker path.
+    to the local up axis (gravity-aligned 1-DoF parameterization,
+    reference global_rotation_averaging.cc gravity rows; the up axis
+    grav_axis (3,) defaults to the reference's e_y convention,
+    RotationEstimatorOptions.axis / global_rotation_averaging.h:52).
+    Solved with a projected CG instead of the dense Kronecker path.
     """
     dtype = quats.dtype
     valid_w = jnp.where(edge_valid, base_w, 0.0).astype(dtype)
@@ -78,9 +80,13 @@ def _irls_phase(quats, fi, fj, q_rel, base_w, edge_valid, fixed,
                     e2_src is not None)
 
     if has_constraint:
+        if grav_axis is None:
+            grav_axis = jnp.asarray([0.0, 1.0, 0.0], dtype)
+        u_ax = grav_axis.astype(dtype)
+
         def project(x):
-            # constrained frames: keep only the e_y component
-            xg = jnp.zeros_like(x).at[:, 1].set(x[:, 1])
+            # constrained frames: keep only the up-axis component
+            xg = (x @ u_ax)[:, None] * u_ax[None, :]
             return jnp.where(grav_mask[:, None] > 0, xg, x)
     else:
         def project(x):
@@ -328,7 +334,8 @@ def _l1_objective(quats, fi, fj, q_rel, base_w, edge_valid):
 
 def l1_phase_guarded(quats, fi, fj, q_rel, base_w, valid, root,
                      num_frames: int, opts, sigma_rad: float,
-                     use_dense: bool, grav_mask=None, sorted_ops=None,
+                     use_dense: bool, grav_mask=None, grav_axis=None,
+                     sorted_ops=None,
                      fallback_dense: bool | None = None):
     """L1 phase: the EXACT reference ADMM where eligible, followed by an
     L1-IRLS safety net, keeping the better L1 objective.
@@ -381,7 +388,7 @@ def l1_phase_guarded(quats, fi, fj, q_rel, base_w, valid, root,
         weight_mode=WEIGHT_L1, sigma_rad=sigma_rad,
         conv_thresh=0.1 * opts.l1_step_convergence_threshold,
         use_dense=fallback_dense, min_iters=10,
-        grav_mask=grav_mask, **sorted_ops)
+        grav_mask=grav_mask, grav_axis=grav_axis, **sorted_ops)
     obj_cur = float(_l1_objective(quats, fi, fj, q_rel, base_w, valid))
     obj_irls = float(_l1_objective(q_irls, fi, fj, q_rel, base_w, valid))
     if np.isfinite(obj_irls) and obj_irls <= obj_cur:
@@ -545,21 +552,25 @@ def estimate_rotations(scene, view_graph,
         quats0, root = _init_from_mst(num_frames, fi, fj, q_rel, w_edge)
 
     grav_mask_d = None
+    grav_axis_d = None
     if use_gravity:
         from glomap_tpu.math import gravity as gravm
+        axis_u = np.asarray(opts.axis, dtype=np.float64)
+        axis_u = axis_u / np.linalg.norm(axis_u)
         g_idx = np.nonzero(scene.frame_has_gravity)[0]
-        R_align = gravm.align_rot(scene.frame_gravity[g_idx])
+        R_align = gravm.align_rot(scene.frame_gravity[g_idx], axis=axis_u)
         if R_align.ndim == 2:
             R_align = R_align[None]
         # snap init onto the gravity manifold: R = R_align R_up(theta*)
         R0 = rotm.quat_to_rotmat(quats0[g_idx])
-        theta = gravm.closest_up_angle(R_align, R0)
-        R_snap = R_align @ gravm.angle_to_rot_up(theta)
+        theta = gravm.closest_up_angle(R_align, R0, axis=axis_u)
+        R_snap = R_align @ gravm.angle_to_rot_up(theta, axis=axis_u)
         quats0 = quats0.copy()
         quats0[g_idx] = rotm.rotmat_to_quat(R_snap)
         gm = np.zeros(num_frames)
         gm[g_idx] = 1.0
         grav_mask_d = jnp.asarray(gm, dtype=dtype)
+        grav_axis_d = jnp.asarray(axis_u, dtype=dtype)
 
     # bucket-pad the edge axis so the two RA passes (and re-runs after
     # rotation filtering) reuse the compiled solver; padded edges have
@@ -614,6 +625,7 @@ def estimate_rotations(scene, view_graph,
     quats = l1_phase_guarded(quats, fi_d, fj_d, q_rel_d, base_w_d,
                              valid_d, root, num_frames, opts, sigma_rad,
                              use_dense, grav_mask=grav_mask_d,
+                             grav_axis=grav_axis_d,
                              sorted_ops=sorted_ops)
 
     # Phase 2 — reweighted least squares (Geman-McClure / half-norm).
@@ -622,7 +634,8 @@ def estimate_rotations(scene, view_graph,
         max_iters=opts.max_num_irls_iterations, weight_mode=weight_mode,
         sigma_rad=sigma_rad,
         conv_thresh=opts.irls_step_convergence_threshold,
-        use_dense=use_dense, grav_mask=grav_mask_d, **sorted_ops)
+        use_dense=use_dense, grav_mask=grav_mask_d,
+        grav_axis=grav_axis_d, **sorted_ops)
 
     q_final = np.asarray(rotm.quat_normalize(quats), dtype=np.float64)
     if not np.all(np.isfinite(q_final)):

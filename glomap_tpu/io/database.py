@@ -64,6 +64,11 @@ class DatabaseData:
     # rigs / frames (newer schema; None when absent)
     rigs: list = None    # list of (rig_id, [(sensor_type, sensor_id, qt or None)])
     frames: list = None  # list of (frame_id, rig_id, [(sensor_type, data_id)])
+    # pose_priors (colmap >= 3.10 schema; {} when absent). The reference
+    # converter leaves these as TODO (colmap_converter.cc:232-239); they
+    # are read tolerantly and exposed for callers.
+    pose_priors: dict = field(default_factory=dict)
+    # image_id -> (position (3,), coordinate_system, covariance (3,3)|None)
 
 
 def read_database(path: str) -> DatabaseData:
@@ -166,6 +171,23 @@ def _read(db) -> DatabaseData:
             qt = _blob(pose, np.float64) if pose is not None else None
             rigs.setdefault(rig_id, []).append((stype, sid, qt))
         out.rigs = sorted(rigs.items())
+    # pose_priors (colmap >= 3.10): tolerate presence/absence and both
+    # column spellings (position_covariance was added after position)
+    if _table_exists(db, "pose_priors"):
+        pcols = [r[1] for r in db.execute(
+            "PRAGMA table_info(pose_priors)").fetchall()]
+        has_cov = "position_covariance" in pcols
+        sel = "image_id, position, coordinate_system"
+        if has_cov:
+            sel += ", position_covariance"
+        for row in db.execute(f"SELECT {sel} FROM pose_priors"):
+            pos = _blob(row[1], np.float64)
+            if pos is None or len(pos) != 3:
+                continue
+            cov = _blob(row[3], np.float64, (3, 3)) \
+                if has_cov and row[3] else None
+            out.pose_priors[int(row[0])] = (pos, int(row[2]), cov)
+
     if _table_exists(db, "frames") and _table_exists(db, "frame_data"):
         frames = {}
         for frame_id, rig_id in db.execute(

@@ -104,20 +104,25 @@ def solve_rotations_sharded(scene, view_graph, mesh=None,
         quats0, root = _init_from_mst(num_frames, fi, fj, q_rel, w_edge)
 
     grav_mask_d = None
+    grav_axis_d = None
     if opts.use_gravity and scene.frame_has_gravity.any():
         from glomap_tpu.math import gravity as gravm
+        axis_u = np.asarray(opts.axis, dtype=np.float64)
+        axis_u = axis_u / np.linalg.norm(axis_u)
         g_idx = np.nonzero(scene.frame_has_gravity)[0]
-        R_align = gravm.align_rot(scene.frame_gravity[g_idx])
+        R_align = gravm.align_rot(scene.frame_gravity[g_idx], axis=axis_u)
         if R_align.ndim == 2:
             R_align = R_align[None]
         R0 = rotm.quat_to_rotmat(quats0[g_idx])
-        theta = gravm.closest_up_angle(R_align, R0)
-        R_snap = R_align @ gravm.angle_to_rot_up(theta)
+        theta = gravm.closest_up_angle(R_align, R0, axis=axis_u)
+        R_snap = R_align @ gravm.angle_to_rot_up(theta, axis=axis_u)
         quats0 = quats0.copy()
         quats0[g_idx] = rotm.rotmat_to_quat(R_snap)
         gm = np.zeros(num_frames)
         gm[g_idx] = 1.0
         grav_mask_d = meshmod.replicate(mesh, jnp.asarray(gm, dtype=dtype))
+        grav_axis_d = meshmod.replicate(
+            mesh, jnp.asarray(axis_u, dtype=dtype))
 
     # partition-aware placement: each device's shard is one spectral
     # graph part's edges (plus per-part padding so shards stay equal)
@@ -154,13 +159,14 @@ def solve_rotations_sharded(scene, view_graph, mesh=None,
     quats = l1_phase_guarded(
         quats, fi_d, fj_d, q_rel_d, base_w_d, valid_d, root, num_frames,
         opts, sigma_rad, use_dense=num_frames <= _DENSE_MAX_NODES,
-        grav_mask=grav_mask_d, fallback_dense=False)
+        grav_mask=grav_mask_d, grav_axis=grav_axis_d,
+        fallback_dense=False)
     quats, _ = _irls_phase(
         quats, fi_d, fj_d, q_rel_d, base_w_d, valid_d, root, num_frames,
         max_iters=opts.max_num_irls_iterations, weight_mode=weight_mode,
         sigma_rad=sigma_rad,
         conv_thresh=opts.irls_step_convergence_threshold,
-        use_dense=False, grav_mask=grav_mask_d)
+        use_dense=False, grav_mask=grav_mask_d, grav_axis=grav_axis_d)
 
     q_final = np.asarray(rotm.quat_normalize(quats), dtype=np.float64)
     if not np.all(np.isfinite(q_final)):

@@ -298,15 +298,16 @@ def synthesize_dataset(opt: SyntheticOptions):
 
 def synthesize_gravity(scene: Scene, gt: dict, rng: np.random.Generator,
                        noise_deg: float = 0.0, outlier_ratio: float = 0.0,
-                       outlier_deg: float = 90.0):
+                       outlier_deg: float = 90.0, axis=(0.0, 1.0, 0.0)):
     """Attach gravity priors derived from GT rotations, with optional noise
     and gross outliers (counterpart of rotation_averager_test.cc:36-66).
 
-    Gravity prior = direction of world -Y axis... following the reference
-    convention the prior is the world down-axis expressed in the sensor
-    frame: g_sensor = R_cam_from_world @ [0, 1, 0].
-    """
-    down = np.asarray([0.0, 1.0, 0.0])
+    Gravity prior = direction of the world down axis expressed in the
+    sensor frame: g_sensor = R_cam_from_world @ axis (the reference
+    convention uses axis = [0, 1, 0];
+    RotationEstimatorOptions.axis must match)."""
+    down = np.asarray(axis, dtype=np.float64)
+    down = down / np.linalg.norm(down)
     q, _ = scene.image_cam_from_world()
     n_frame = scene.num_frames
     scene.frame_has_gravity = np.ones(n_frame, dtype=bool)

@@ -86,3 +86,55 @@ def test_cli_rejects_unknown_flags():
          "--GlobalPositioning.use_gpu=1"])
     assert opt.opt_ba.max_num_iterations == 5
     assert opt.inlier_thresholds.max_epipolar_error_E == 2.0
+
+
+def test_parity_real_harness(tmp_path, capsys, monkeypatch):
+    """scripts/parity_real.py runs the mapper on a database and reports
+    ATE / rotation / registered counts against a supplied COLMAP model
+    (the BASELINE.md real-scene acceptance flow, runnable the moment a
+    benchmark DB exists)."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    from glomap_tpu.io.convert import write_reconstruction
+    from glomap_tpu.scene.arrays import Tracks
+
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=8, num_points3D=120, seed=92))
+    db = str(tmp_path / "db.db")
+    write_database(db, scene, vg)
+
+    # reference model dir from the GT poses (stand-in for a model the
+    # reference binary wrote)
+    ref_dir = str(tmp_path / "ref")
+    gt_scene = scene.copy()
+    gt_scene.frame_quat = gt["frame_quat"].copy()
+    gt_scene.frame_trans = gt["frame_trans"].copy()
+    tr = Tracks(xyz=gt["points"].copy(),
+                valid=np.ones(len(gt["points"]), dtype=bool),
+                color=np.zeros((len(gt["points"]), 3), dtype=np.uint8),
+                obs_track=np.zeros(0, np.int32),
+                obs_image=np.zeros(0, np.int32),
+                obs_feature=np.zeros(0, np.int32),
+                obs_valid=np.zeros(0, bool))
+    write_reconstruction(ref_dir, gt_scene, tr)
+
+    spec = importlib.util.spec_from_file_location(
+        "parity_real", os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts", "parity_real.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", [
+        "parity_real.py", db, ref_dir + "/0",
+        "--RelPoseEstimation.num_hypotheses=128"])
+    rc = mod.main()
+    assert rc == 0
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    rep = json.loads(line)
+    assert rep["common"] == scene.num_images
+    assert rep["ate_max"] < 0.1
+    assert rep["rot_err_max_deg"] < 0.5
+    assert rep["registered_est"] == rep["registered_ref"]

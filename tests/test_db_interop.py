@@ -192,3 +192,102 @@ def test_partial_rig_coverage_gets_trivial_rigs_and_frames(tmp_path):
     s = scene2.image_sensor[np.nonzero(
         scene2.camera_ids[scene2.image_camera] == cam0)[0]]
     assert scene2.sensor_is_ref[s].all()
+
+
+def test_keypoints_with_affine_columns(tmp_path):
+    """Real COLMAP writes keypoints with 4 (x, y, scale, orientation) or
+    6 (affine frame) columns; only x, y are consumed
+    (colmap_converter.cc:247-254)."""
+    path, scene, vg = _write_db(tmp_path, name="affine.sqlite")
+    db = sqlite3.connect(path)
+    rng = np.random.default_rng(0)
+    for iid, r, c, data in db.execute(
+            "SELECT image_id, rows, cols, data FROM keypoints").fetchall():
+        xy = np.frombuffer(data, np.float32).reshape(r, c)
+        cols = 6 if iid % 2 == 0 else 4
+        full = np.concatenate(
+            [xy, rng.standard_normal((r, cols - 2)).astype(np.float32)],
+            axis=1)
+        db.execute("UPDATE keypoints SET cols=?, data=? WHERE image_id=?",
+                   (cols, np.ascontiguousarray(full).tobytes(), iid))
+    db.commit()
+    db.close()
+
+    scene2, vg2 = database_to_scene(read_database(path))
+    assert np.allclose(scene2.kp_xy, scene.kp_xy, atol=1e-5)
+    assert vg2.num_matches == vg.num_matches
+
+
+def test_legacy_images_table_with_prior_columns(tmp_path):
+    """COLMAP <= 3.9 stored pose priors as columns of the images table;
+    the reader must not depend on the exact column set."""
+    path, scene, vg = _write_db(tmp_path, name="legacy.sqlite")
+    db = sqlite3.connect(path)
+    rows = db.execute(
+        "SELECT image_id, name, camera_id FROM images").fetchall()
+    db.execute("DROP TABLE images")
+    db.execute(
+        "CREATE TABLE images (image_id INTEGER PRIMARY KEY NOT NULL, "
+        "name TEXT NOT NULL UNIQUE, camera_id INTEGER NOT NULL, "
+        "prior_qw REAL, prior_qx REAL, prior_qy REAL, prior_qz REAL, "
+        "prior_tx REAL, prior_ty REAL, prior_tz REAL)")
+    for iid, name, cid in rows:
+        db.execute(
+            "INSERT INTO images VALUES (?, ?, ?, 1, 0, 0, 0, 0, 0, 0)",
+            (iid, name, cid))
+    db.commit()
+    db.close()
+
+    scene2, vg2 = database_to_scene(read_database(path))
+    assert scene2.num_images == scene.num_images
+    assert scene2.image_names == scene.image_names
+
+
+def test_pose_priors_table_tolerated(tmp_path):
+    """COLMAP >= 3.10 adds a pose_priors table (the reference leaves it
+    as TODO, colmap_converter.cc:232-239); it must parse and not disturb
+    ingestion."""
+    path, scene, vg = _write_db(tmp_path, name="priors.sqlite")
+    db = sqlite3.connect(path)
+    db.execute(
+        "CREATE TABLE pose_priors (image_id INTEGER PRIMARY KEY NOT NULL, "
+        "position BLOB, coordinate_system INTEGER NOT NULL, "
+        "position_covariance BLOB)")
+    pos = np.asarray([1.0, 2.0, 3.0])
+    cov = np.eye(3) * 0.5
+    db.execute("INSERT INTO pose_priors VALUES (?, ?, ?, ?)",
+               (int(scene.image_ids[0]), pos.tobytes(), 1, cov.tobytes()))
+    # a row with a NULL position must be skipped, not crash
+    db.execute("INSERT INTO pose_priors VALUES (?, NULL, 0, NULL)",
+               (int(scene.image_ids[1]),))
+    # descriptors presence must also be harmless
+    db.execute("INSERT OR REPLACE INTO descriptors VALUES (?, ?, ?, ?)",
+               (int(scene.image_ids[0]), 2, 128,
+                np.zeros((2, 128), np.uint8).tobytes()))
+    db.commit()
+    db.close()
+
+    data = read_database(path)
+    assert set(data.pose_priors) == {int(scene.image_ids[0])}
+    p, cs, c = data.pose_priors[int(scene.image_ids[0])]
+    assert np.allclose(p, pos) and cs == 1 and np.allclose(c, cov)
+    scene2, vg2 = database_to_scene(data)
+    assert scene2.num_images == scene.num_images
+    assert vg2.num_pairs == vg.num_pairs
+
+
+def test_pose_priors_without_covariance_column(tmp_path):
+    """Early 3.10 schemas lack position_covariance."""
+    path, scene, vg = _write_db(tmp_path, name="priors2.sqlite")
+    db = sqlite3.connect(path)
+    db.execute(
+        "CREATE TABLE pose_priors (image_id INTEGER PRIMARY KEY NOT NULL, "
+        "position BLOB, coordinate_system INTEGER NOT NULL)")
+    db.execute("INSERT INTO pose_priors VALUES (?, ?, ?)",
+               (int(scene.image_ids[2]),
+                np.asarray([4.0, 5.0, 6.0]).tobytes(), 0))
+    db.commit()
+    db.close()
+    data = read_database(path)
+    p, cs, c = data.pose_priors[int(scene.image_ids[2])]
+    assert np.allclose(p, [4.0, 5.0, 6.0]) and cs == 0 and c is None

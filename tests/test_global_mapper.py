@@ -197,3 +197,67 @@ def test_mapper_noisy_outliers_observation_recovery():
     assert tracks is not None
     _expect_equal(scene, gt, 1e-1, 1e-1)
     assert tracks.obs_valid.sum() >= 0.98 * scene.num_keypoints
+
+
+def test_mapper_reundistortion_after_intrinsics_ba():
+    """Re-undistortion regression (reference global_mapper.cc:237-238,
+    263-264): on a no-prior-focal scene with a 20%-wrong initial focal,
+    stage-6 BA corrects the intrinsics and the pipeline must re-lift
+    scene.kp_ray before the normalized-space filters. With the refresh
+    the noisy oracle passes and the focal is recovered; with stale rays
+    the filters consume rays lifted at the wrong focal and the run
+    degrades (measured: the mapper fails outright)."""
+    from glomap_tpu.ops import camera_models as cm
+    import glomap_tpu.controllers.global_mapper as gm_mod
+
+    def build():
+        scene, vg, gt = synthesize_dataset(
+            SyntheticOptions(num_frames_per_rig=15, num_points3D=300,
+                             seed=33, point2D_stddev=0.5,
+                             prior_focal=False))
+        for fi in cm.FOCAL_IDXS[cm.PINHOLE]:
+            scene.cam_params[:, fi] *= 1.2  # wrong initial focal
+        scene.frame_quat = np.tile([1.0, 0, 0, 0], (scene.num_frames, 1))
+        scene.frame_trans = np.zeros((scene.num_frames, 3))
+        undistort_images(scene)
+        image_pairs_inlier_count(scene, vg)
+        return scene, vg, gt
+
+    opt = GlobalMapperOptions()
+    opt.skip_preprocessing = True
+    opt.skip_view_graph_calibration = True
+    opt.skip_relative_pose_estimation = True
+    opt.skip_retriangulation = True
+
+    scene, vg, gt = build()
+    tracks = GlobalMapper(opt).solve(scene, vg)
+    assert tracks is not None
+    # harsher-than-reference scenario (20% focal error, no prior): the
+    # noisy center bound holds; rotations settle within 0.3 deg
+    _expect_equal(scene, gt, 3e-1, 1e-1)
+    # BA recovered the true focal from the 20%-wrong init...
+    assert abs(scene.cam_params[0, 0] - 900.0) < 9.0
+    # ...and the rays in the scene are lifted with the FINAL intrinsics
+    from glomap_tpu.processors.undistortion import undistort_images as ud
+    ray_before = scene.kp_ray.copy()
+    ud(scene)
+    assert np.allclose(ray_before, scene.kp_ray, atol=1e-12)
+
+    # differential: with the refresh disabled the stale rays must not
+    # quietly reproduce the refreshed result
+    scene_b, vg_b, _ = build()
+    orig = gm_mod._refresh_rays
+    gm_mod._refresh_rays = lambda *a, **k: None
+    try:
+        tracks_b = GlobalMapper(opt).solve(scene_b, vg_b)
+    finally:
+        gm_mod._refresh_rays = orig
+    if tracks_b is not None:
+        est_c = scene_b.frame_centers()[scene_b.frame_registered]
+        gt_c = np.asarray(rotm.pose_center(
+            jnp.asarray(gt["frame_quat"][scene_b.frame_registered]),
+            jnp.asarray(gt["frame_trans"][scene_b.frame_registered])))
+        s, R, t = umeyama_alignment(est_c, gt_c)
+        err_b = np.linalg.norm(apply_sim3(s, R, t, est_c) - gt_c,
+                               axis=-1).max()
+        assert err_b > 0.02, "stale rays unexpectedly matched the oracle"

@@ -37,6 +37,31 @@ def test_gravity_exact_noiseless():
     assert ang.max() < 1e-8
 
 
+def test_gravity_non_y_axis_convention():
+    """RotationEstimatorOptions.axis (global_rotation_averaging.h:52)
+    plumbed through the 1-DoF projection + gravity snap: a z-up gravity
+    convention solves exactly and stays on its manifold."""
+    axis = np.asarray([0.0, 0.0, 1.0])
+    scene, vg, gt = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=15, num_points3D=150, seed=84))
+    rng = np.random.default_rng(3)
+    synthesize_gravity(scene, gt, rng, axis=axis)
+    scene.frame_quat = np.tile([1.0, 0, 0, 0], (scene.num_frames, 1))
+    opts = RotationAveragerOptions(use_gravity=True,
+                                   axis=(0.0, 0.0, 1.0))
+    assert solve_rotation_averaging(scene, vg, opts)
+    errs = pairwise_rotation_errors_deg(scene.frame_quat, gt["frame_quat"])
+    assert errs.max() < 1e-4
+    # solution stays on the z-up gravity manifold (1e-5 deg: the
+    # composed alignment rotation R_y(g) @ Q(axis->e_y) carries ~1e-8
+    # rad of f64 rounding; a wrong axis convention would be degrees off)
+    g_est = np.asarray(rotm.quat_rotate(
+        jnp.asarray(scene.frame_quat),
+        jnp.asarray(np.tile(axis, (scene.num_frames, 1)))))
+    ang = gravm.gravity_angle_deg(g_est, scene.frame_gravity)
+    assert ang.max() < 1e-5
+
+
 def test_gravity_with_noise_and_outlier_pairs():
     scene, vg, gt = synthesize_dataset(
         SyntheticOptions(num_frames_per_rig=25, num_points3D=250, seed=81))
