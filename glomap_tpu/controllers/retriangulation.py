@@ -339,14 +339,20 @@ def retriangulate_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
     from glomap_tpu.config import TrackEstablishmentOptions
     te_opts = TrackEstablishmentOptions()
 
+    import time as _time
     merged: Tracks | None = None
     kp_mask = None
     for gen in range(max(int(opts.tri_num_generations), 1)):
+        _tg = _time.monotonic()
         t = establish_full_tracks(scene, vg, te_opts, kp_mask=kp_mask)
         t.obs_valid &= reg[t.obs_image]
         if int(t.obs_valid.sum()) < 2:
             break
+        _te = _time.monotonic()
         t = _triangulate_track_set(scene, t, opts)
+        logger.info("retri gen %d: establish %.2fs, triangulate %.2fs "
+                    "(%d tracks)", gen, _te - _tg,
+                    _time.monotonic() - _te, t.num_tracks)
         if t.num_tracks == 0:
             break
         merged = t if merged is None else _concat_tracks(merged, t)
@@ -360,17 +366,23 @@ def retriangulate_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
 
     if merged is None:
         merged = Tracks()
+    _tc = _time.monotonic()
     # completion: re-attach masked observations that the freshly
     # triangulated geometry explains within the loose threshold
     # (colmap CompleteAndMergeTracks, track_retriangulation.cc:80)
     tf.complete_tracks(scene, merged, opts.tri_complete_max_reproj_error)
+    _t1 = _time.monotonic()
     # ...and attach still-unexplained keypoints to existing tracks
     # through their own inlier matches (wrong-component rescues)
     complete_tracks_from_matches(scene, vg, merged,
                                  opts.tri_complete_max_reproj_error)
+    _t2 = _time.monotonic()
     # ...then fuse tracks that describe the same physical point (the
     # MERGE half of colmap CompleteAndMergeTracks)
     merge_tracks(scene, vg, merged, opts.tri_merge_max_reproj_error)
+    logger.info("retri post: complete %.2fs, match-complete %.2fs, "
+                "merge %.2fs", _t1 - _tc, _t2 - _t1,
+                _time.monotonic() - _t2)
 
     out = merged.compact()
     logger.info("Retriangulation: %d tracks (%d observations)",

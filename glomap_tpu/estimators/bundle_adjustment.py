@@ -380,7 +380,7 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         return psum_scalar(jnp.sum(o_w * _huber_cost(r2, huber_delta)))
 
     def lm_step(state):
-        fq, ft, cp, X, sq, st, lam, cost, it, done, _ = state
+        fq, ft, cp, X, sq, st, lam, cost, it, done, _, n_rej = state
         if fast_path and use_tables:
             # Pallas fused closed-form kernel over ALL camera kinds
             # (perspective / fisheye / FOV) — emits lane-major (2, O) /
@@ -695,9 +695,18 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-12),
                         jnp.minimum(lam * 4.0, 1e8))
         rel = (cost - new_cost) / jnp.maximum(cost, 1e-30)
-        done = accept & (rel < function_tol)
+        # termination: small relative decrease on an accepted step
+        # (Ceres function_tolerance), OR a run of consecutive rejections
+        # (the analog of Ceres's minimum-trust-region-radius exit: after
+        # 8 straight rejections lam grew 4^8 ~ 65k-fold without finding
+        # a descent step — the solve is at its floor; without this exit
+        # a stalled solve spins to max_iters, measured 200 iters / 2.3 s
+        # per stage-6 BA call on the e2e bench vs ~30 needed)
+        n_rej = jnp.where(accept, 0, n_rej + 1)
+        done = (accept & (rel < function_tol)) | (n_rej >= 8)
         cost = jnp.where(accept, new_cost, cost)
-        return (fq, ft, cp, X, sq, st, lam, cost, it + 1, done, accept)
+        return (fq, ft, cp, X, sq, st, lam, cost, it + 1, done, accept,
+                n_rej)
 
     def cond(state):
         return (state[8] < max_iters) & ~state[9]
@@ -711,8 +720,8 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
     state = (frame_quat, frame_trans, cam_params, points,
              sensor_quat, sensor_trans,
              jnp.asarray(1e-4, dtype), cost0, 0, jnp.asarray(False),
-             jnp.asarray(True))
-    fq, ft, cp, X, sq, st, _, cost, it, _, _ = jax.lax.while_loop(
+             jnp.asarray(True), jnp.asarray(0))
+    fq, ft, cp, X, sq, st, _, cost, it, _, _, _ = jax.lax.while_loop(
         cond, lm_step, state)
     return fq, ft, cp, X, cost, it, sq, st
 
@@ -747,6 +756,8 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         cost, _ = solve_ba_partitioned(scene, tracks, mesh, opts, dtype)
         return bool(np.isfinite(cost))
 
+    import time as _time
+    _t0 = _time.monotonic()
     lengths = np.bincount(tracks.obs_track[tracks.obs_valid],
                           minlength=tracks.num_tracks)
     track_ok = tracks.valid & (lengths >= opts.min_num_view_per_track)
@@ -825,6 +836,7 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
     if opts.optimize_rig_poses:
         sensor_mask[~scene.sensor_is_ref, :] = 1.0
 
+    _t1 = _time.monotonic()
     fq, ft, cp, X, cost, it, sq, st = _solve_ba(
         jnp.asarray(scene.frame_quat, dtype=dtype),
         jnp.asarray(scene.frame_trans, dtype=dtype),
@@ -857,6 +869,11 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
     ft = np.asarray(ft, dtype=np.float64)
     cp = np.asarray(cp, dtype=np.float64)
     X = np.asarray(X, dtype=np.float64)
+    import logging as _logging
+    _logging.getLogger(__name__).info(
+        "BA solve: %d LM iters, cost %.3e, host prep %.2fs, "
+        "solve+pull %.2fs (%d obs)", int(it), float(cost), _t1 - _t0,
+        _time.monotonic() - _t1, n_obs)
     if not (np.all(np.isfinite(fq)) and np.all(np.isfinite(ft)) and
             np.all(np.isfinite(cp)) and np.all(np.isfinite(X))):
         return False

@@ -157,7 +157,7 @@ def _solve_gp(c0, X0,
                           a * hT[1] * hT[2], a * hT[2] * hT[2]])
 
     def lm_step(state):
-        c, X, lam, cost, it, done, _ = state
+        c, X, lam, cost, it, done, _, n_rej = state
         # EXACT scale elimination (Golub-Pereyra): eliminating the
         # per-residual scale s (J_s = -d) turns every +-sI3 Jacobian
         # block into a_o P_o with a_o = w s^2 and P_o = I - h h^T (the
@@ -237,18 +237,22 @@ def _solve_gp(c0, X0,
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10),
                         jnp.minimum(lam * 4.0, 1e8))
         rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-30)
-        done = accept & (rel_decrease < function_tol)
+        # consecutive-rejection exit: the analog of Ceres's minimum
+        # trust-region radius (see bundle_adjustment lm_step) — a
+        # stalled solve must not spin to max_iters
+        n_rej = jnp.where(accept, 0, n_rej + 1)
+        done = (accept & (rel_decrease < function_tol)) | (n_rej >= 8)
         cost = jnp.where(accept, new_cost, cost)
-        return (c, X, lam, cost, it + 1, done, accept)
+        return (c, X, lam, cost, it + 1, done, accept, n_rej)
 
     def cond(state):
-        _, _, _, _, it, done, _ = state
+        it, done = state[4], state[5]
         return (it < max_iters) & ~done
 
     init_cost = cost_of(c0, X0)
     state = (c0, X0, jnp.asarray(1e-4, dtype), init_cost, 0,
-             jnp.asarray(False), jnp.asarray(True))
-    c, X, lam, cost, it, _, _ = jax.lax.while_loop(cond, lm_step, state)
+             jnp.asarray(False), jnp.asarray(True), jnp.asarray(0))
+    c, X, lam, cost, it, _, _, _ = jax.lax.while_loop(cond, lm_step, state)
     return c, X, cost, it
 
 

@@ -357,6 +357,11 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     dtype = dtype or solver_dtype()
     if vg.num_pairs == 0:
         return
+    # start the inlier sweep's big feature-id upload now: the async
+    # transfer rides under the RANSAC wall instead of serializing in
+    # front of image_pairs_inlier_count (~0.5-1 s at 8M matches)
+    from glomap_tpu.processors.pair_inliers import prefetch_match_features
+    prefetch_match_features(vg)
 
     # ---- pack a bounded random subsample per pair into (P, cap) tables
     rng_np = np.random.default_rng(seed)
@@ -471,13 +476,17 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     # stopping rule stays exact while dispatches pipeline on-device.
     sync_stride = 1
     chunks_since_sync = 0
+    stride_cap = 4
     while len(active):
         # the adaptive tail (few hard pairs, many hypotheses to go) runs
         # DEEPER chunks on the small tile: 4x the scan rounds per
         # dispatch cuts tunnel round-trips 4x for pairs headed to the
-        # 50k cap. (A 16x tail was measured WORSE: most tail pairs stop
-        # near 1-2k hypotheses, so the deep chunks overshoot the
-        # stopping rule ~2.6x in wasted device compute.)
+        # 50k cap. (A 16x-deep GRAPH was measured WORSE — overshoot —
+        # and every distinct depth is a separate ~100 s remote compile,
+        # so the tail keeps ONE compiled shape and instead stretches the
+        # SYNC stride by the median remaining budget: extra dispatches
+        # of the same graph pipeline on-device, only the host pull is a
+        # tunnel round-trip.)
         if len(active) <= 2 * TILE_SMALL:
             tile, rounds = TILE_SMALL, chunk_rounds * 4
         else:
@@ -497,7 +506,7 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
                 done[active].min() < max_hyp:
             continue
         chunks_since_sync = 0
-        sync_stride = min(sync_stride * 2, 4)
+        sync_stride = min(sync_stride * 2, stride_cap)
         # per-pair stopping number from the best inlier ratio so far
         cnt_np = np.asarray(best_cnt[:P])
         r = np.clip(cnt_np / counts_f, 0.0, 0.9999)
@@ -510,6 +519,12 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
                 np.inf)
         target = np.clip(needed, min_hyp, max_hyp)
         active = np.nonzero(eligible & (done < target))[0].astype(np.int32)
+        if len(active):
+            # chunks-to-go at the tail depth for the median active pair;
+            # syncing much more often than that only buys stale pulls
+            remaining = np.median(target[active] - done[active])
+            stride_cap = int(np.clip(
+                np.ceil(remaining / (4.0 * chunk_hyp)), 4, 12))
     best_E = best_E[:P]
     jax.block_until_ready(best_E)
     _t1 = _time.time()

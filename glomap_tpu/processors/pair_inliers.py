@@ -153,6 +153,20 @@ def _score_matches(num_pairs, num_matches,
     return jnp.packbits(inlier), n_inl, score
 
 
+def prefetch_match_features(vg: ViewGraph) -> None:
+    """Kick off the (2 x M) compact feature-id upload early and cache the
+    device arrays on the view graph. jax transfers are asynchronous, so
+    calling this before a long device phase (the relpose RANSAC) hides
+    the ~33 MB upload behind it instead of serializing it in front of
+    the inlier sweep."""
+    if vg.num_matches == 0 or getattr(vg, "_match_fdev", None) is not None:
+        return
+    fdt = np.uint16 if (vg.match_f1.max(initial=0) < 2 ** 16 and
+                        vg.match_f2.max(initial=0) < 2 ** 16) else np.int32
+    vg._match_fdev = (jnp.asarray(vg.match_f1.astype(fdt)),
+                      jnp.asarray(vg.match_f2.astype(fdt)))
+
+
 def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
                              opts: InlierThresholds | None = None) -> None:
     """Classify every match, update vg.match_inlier / pair_num_inliers.
@@ -166,10 +180,10 @@ def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
     from glomap_tpu.processors.undistortion import device_keypoints
     kp_rayT, kp_xyT = device_keypoints(scene)
     # compact upload: uint16 feature ids when they fit (they do unless an
-    # image has >65535 keypoints), int32 otherwise
-    fdt = np.uint16 if (vg.match_f1.size == 0 or
-                        (vg.match_f1.max(initial=0) < 2 ** 16 and
-                         vg.match_f2.max(initial=0) < 2 ** 16)) else np.int32
+    # image has >65535 keypoints), int32 otherwise; reuses the prefetch
+    # started before the RANSAC phase when available
+    prefetch_match_features(vg)
+    f1d, f2d = vg._match_fdev
     from glomap_tpu.ops import camera_models as cm
     f1 = cm.mean_focal(scene.cam_params[scene.image_camera[vg.pair_i]])
     f2 = cm.mean_focal(scene.cam_params[scene.image_camera[vg.pair_j]])
@@ -182,8 +196,7 @@ def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
         jnp.asarray(np.asarray(f1)), jnp.asarray(np.asarray(f2)),
         jnp.asarray(vg.pair_match_offset), jnp.asarray(vg.pair_i),
         jnp.asarray(vg.pair_j), jnp.asarray(scene.kp_offset),
-        jnp.asarray(vg.match_f1.astype(fdt)),
-        jnp.asarray(vg.match_f2.astype(fdt)),
+        f1d, f2d,
         kp_rayT, kp_xyT,
         float(opts.max_epipolar_error_E), float(opts.max_epipolar_error_F),
         float(opts.max_epipolar_error_H))
