@@ -102,11 +102,16 @@ def complete_tracks_from_matches(scene: Scene, vg: ViewGraph,
     from glomap_tpu.processors.track_filter import _img_from_cam_jit
 
     kp1, kp2 = _inlier_match_endpoints(scene, vg)
-    kp_image = np.repeat(np.arange(scene.num_images, dtype=np.int64),
+    kp_image = np.repeat(np.arange(scene.num_images, dtype=np.int32),
                          np.diff(scene.kp_offset))
     q_img, t_img = scene.image_cam_from_world()
     reg_img = scene.frame_registered[scene.image_frame]
     cpu = jax.local_devices(backend="cpu")[0]
+    # both directions of the match list, built once for all rounds
+    # (the per-round rebuild of these 2x8M arrays was ~half the pass)
+    a = np.concatenate([kp1, kp2])
+    b = np.concatenate([kp2, kp1])
+    reg_b = reg_img[kp_image[b]]
 
     total_added = 0
     for _ in range(max(rounds, 1)):
@@ -116,10 +121,7 @@ def complete_tracks_from_matches(scene: Scene, vg: ViewGraph,
         kp_track[kp_idx[ok_obs]] = tracks.obs_track[ok_obs]
 
         # candidates: one endpoint explained, the other not
-        a = np.concatenate([kp1, kp2])
-        b = np.concatenate([kp2, kp1])
-        cand = (kp_track[a] >= 0) & (kp_track[b] < 0) & \
-            reg_img[kp_image[b]]
+        cand = (kp_track[a] >= 0) & (kp_track[b] < 0) & reg_b
         ckp = b[cand]
         ctr = kp_track[a[cand]]
         if len(ckp) == 0:

@@ -52,8 +52,12 @@ def inlier_match_endpoints(scene: Scene, vg: ViewGraph):
         return cache[1], cache[2]
     use = vg.pair_valid[vg.match_pair] & vg.match_inlier
     mp = vg.match_pair[use]
-    kp1 = scene.kp_offset[vg.pair_i[mp]] + vg.match_f1[use]
-    kp2 = scene.kp_offset[vg.pair_j[mp]] + vg.match_f2[use]
+    # int32 endpoints: halves the memory traffic of every downstream
+    # 8M-row sweep (completion/merge gathers)
+    kp1 = (scene.kp_offset[vg.pair_i[mp]] +
+           vg.match_f1[use]).astype(np.int32)
+    kp2 = (scene.kp_offset[vg.pair_j[mp]] +
+           vg.match_f2[use]).astype(np.int32)
     vg._match_kp_cache = (key, kp1, kp2)
     return kp1, kp2
 

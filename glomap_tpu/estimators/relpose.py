@@ -163,7 +163,11 @@ def _ransac_rounds(key, tab, mask, counts, sq_thres, init_E, init_cnt,
     Returns (best_E (P, 3, 3), best_count (P,))."""
     x1, y1, z1, x2, y2, z2 = tab
     P = x1.shape[0]
+    cap = x1.shape[1]
     thr = sq_thres[:, None]
+    from glomap_tpu.ops.pallas_kernels import _on_tpu
+    on_tpu = _on_tpu()
+    tab6 = jnp.stack(tab, axis=1)  # (P, 6, cap), loop-invariant
 
     def one_round(carry, rkey):
         best_E, best_cnt = carry
@@ -178,12 +182,27 @@ def _ransac_rounds(key, tab, mask, counts, sq_thres, init_E, init_cnt,
         # scalars as (P, H, 1, 1) tiles (T(1,128): one value per lane
         # row, ~1/1000 VPU utilization) and that single fusion was 84%
         # of the chunk's device time (scripts/profile_relpose.py).
-        def take(c):
-            return jnp.take_along_axis(c, idx, axis=1).reshape(
-                P, 8, hyp_per_round)
-
-        s1 = (take(x1), take(y1), take(z1))
-        s2 = (take(x2), take(y2), take(z2))
+        #
+        # On TPU the per-pair sample gather itself runs as ONE batched
+        # one-hot MXU dot (XLA fuses the iota-compare into the operand):
+        # the take_along_axis lane-axis gather it replaces was 95% of
+        # the round-4 chunk profile — 400 -> 10 ms per 2048x256 chunk
+        # measured (lane gathers run ~5 GB/s, CLAUDE.md).
+        if on_tpu:
+            oh = (idx[:, :, None] ==
+                  jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+                  ).astype(x1.dtype)               # (P, S, cap) fused
+            smp = jax.lax.dot_general(
+                oh, tab6, (((2,), (2,)), ((0,), (0,))))  # (P, S, 6)
+            comps = [smp[:, :, k].reshape(P, 8, hyp_per_round)
+                     for k in range(6)]
+        else:
+            def take(c):
+                return jnp.take_along_axis(c, idx, axis=1).reshape(
+                    P, 8, hyp_per_round)
+            comps = [take(c) for c in tab]
+        s1 = tuple(comps[0:3])
+        s2 = tuple(comps[3:6])
         # epipolar rows kron(x2, x1): A[k, 3i+j] = s2[i] s1[j]
         A_c = [s2[a // 3] * s1[a % 3] for a in range(9)]
         # normal-equation components (P, H): reduce over the 8 samples
@@ -355,7 +374,7 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     opts = opts or RelPoseEstimationOptions()
     from glomap_tpu.utils.dtypes import solver_dtype
     dtype = dtype or solver_dtype()
-    if vg.num_pairs == 0:
+    if vg.num_pairs == 0 or vg.num_matches == 0:
         return
     # start the inlier sweep's big feature-id upload now: the async
     # transfer rides under the RANSAC wall instead of serializing in
@@ -363,35 +382,29 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     from glomap_tpu.processors.pair_inliers import prefetch_match_features
     prefetch_match_features(vg)
 
-    # ---- pack a bounded random subsample per pair into (P, cap) tables
+    # ---- pack a bounded random subsample per pair into (P, cap) tables.
+    # Sampling is WITH replacement, directly into the table: O(P x cap)
+    # gathers instead of the old O(M log M) fused-key argsort over all
+    # 8M matches (~1 s of host prep on the bench scene). Duplicate
+    # samples in a pair's table only reweight its score — the inlier
+    # RATIO the adaptive stopping rule consumes stays unbiased, and the
+    # FULL match set is classified downstream by pair_inliers.
     rng_np = np.random.default_rng(seed)
     P = vg.num_pairs
     cap = max(int(getattr(opts, "score_match_cap", 512) or 512), 16)
     total = np.diff(vg.pair_match_offset)
-    counts = np.minimum(total, cap).astype(np.int32)
-    # one fused-key argsort instead of lexsort: (pair << 32 | rand32)
-    # sorts by pair with a random shuffle inside each pair (~2.5x faster
-    # on the 8M-match host prep)
-    fused = (vg.match_pair.astype(np.uint64) << np.uint64(32)) | \
-        rng_np.integers(0, 2 ** 32, vg.num_matches, dtype=np.uint64)
-    order = np.argsort(fused)
-    ranks = np.empty(vg.num_matches, dtype=np.int64)
-    ranks[order] = np.arange(vg.num_matches) - \
-        vg.pair_match_offset[vg.match_pair[order]]
-    sub = ranks < cap
-    mp_s = vg.match_pair[sub]
-    rank_s = ranks[sub]
-    kp1 = scene.kp_offset[vg.pair_i[mp_s]] + vg.match_f1[sub]
-    kp2 = scene.kp_offset[vg.pair_j[mp_s]] + vg.match_f2[sub]
-
-    # ship only (P, cap) int32 keypoint-index tables; the rays stay
-    # device-resident and the tables are gathered on device
-    idx1 = np.zeros((P, cap), dtype=np.int32)
-    idx2 = np.zeros((P, cap), dtype=np.int32)
-    idx1[mp_s, rank_s] = kp1
-    idx2[mp_s, rank_s] = kp2
-    mask_np = np.zeros((P, cap), dtype=bool)
-    mask_np[mp_s, rank_s] = vg.pair_valid[mp_s]
+    # every table slot of a non-empty pair holds a sample, so the valid
+    # slot count (sampling range + stopping-ratio denominator) is cap
+    counts = np.where(total > 0, cap, 0).astype(np.int32)
+    sel = (vg.pair_match_offset[:-1, None] +
+           (rng_np.random((P, cap)) *
+            np.maximum(total, 1)[:, None]).astype(np.int64))
+    idx1 = (scene.kp_offset[vg.pair_i][:, None] +
+            vg.match_f1[sel]).astype(np.int32)
+    idx2 = (scene.kp_offset[vg.pair_j][:, None] +
+            vg.match_f2[sel]).astype(np.int32)
+    mask_np = np.broadcast_to(
+        (vg.pair_valid & (total > 0))[:, None], (P, cap)).copy()
 
     from glomap_tpu.processors.undistortion import device_keypoints
     kp_rayT, _ = device_keypoints(scene)
@@ -463,9 +476,9 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     # invalid pairs (all-false mask => inlier count pinned at 0 =>
     # stopping number inf) would otherwise burn the full 50k budget on
     # results that are discarded anyway, and 8-point sampling needs >= 8
-    # matches (real DBs mark UNDEFINED/DEGENERATE/WATERMARK pairs
-    # invalid at ingestion — io/convert.py)
-    eligible = vg.pair_valid & (counts >= 8)
+    # DISTINCT matches (real DBs mark UNDEFINED/DEGENERATE/WATERMARK
+    # pairs invalid at ingestion — io/convert.py)
+    eligible = vg.pair_valid & (total >= 8)
     active = np.nonzero(eligible)[0].astype(np.int32)
     done = np.zeros(P, dtype=np.int64)
     n_chunks = 0
@@ -491,6 +504,7 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
             tile, rounds = TILE_SMALL, chunk_rounds * 4
         else:
             tile, rounds = TILE_BIG, chunk_rounds
+        _tp = _time.time()
         for t0 in range(0, len(active), tile):
             sub_ids = active[t0:t0 + tile]
             idx = np.full(tile, P, dtype=np.int32)
@@ -499,16 +513,23 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
             best_E, best_cnt = _ransac_chunk(
                 sub, tab, mask, counts_d, sq_thres, best_E, best_cnt,
                 jnp.asarray(idx), hyp_per_round, rounds)
+        _disp = _time.time() - _tp
         done[active] += rounds * hyp_per_round
         n_chunks += 1
         chunks_since_sync += 1
         if chunks_since_sync < sync_stride and \
                 done[active].min() < max_hyp:
+            _log.debug("ransac pass %d: %d active, dispatch %.3fs "
+                       "(no sync)", n_chunks, len(active), _disp)
             continue
         chunks_since_sync = 0
         sync_stride = min(sync_stride * 2, stride_cap)
         # per-pair stopping number from the best inlier ratio so far
+        _ts = _time.time()
         cnt_np = np.asarray(best_cnt[:P])
+        _log.debug("ransac pass %d: %d active, dispatch %.3fs, "
+                   "sync pull %.3fs", n_chunks, len(active), _disp,
+                   _time.time() - _ts)
         r = np.clip(cnt_np / counts_f, 0.0, 0.9999)
         p_sample = r ** 8
         with np.errstate(divide="ignore"):

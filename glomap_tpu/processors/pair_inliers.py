@@ -154,17 +154,42 @@ def _score_matches(num_pairs, num_matches,
 
 
 def prefetch_match_features(vg: ViewGraph) -> None:
-    """Kick off the (2 x M) compact feature-id upload early and cache the
-    device arrays on the view graph. jax transfers are asynchronous, so
-    calling this before a long device phase (the relpose RANSAC) hides
-    the ~33 MB upload behind it instead of serializing it in front of
-    the inlier sweep."""
-    if vg.num_matches == 0 or getattr(vg, "_match_fdev", None) is not None:
+    """Kick off the (2 x M) compact feature-id upload on a background
+    thread and cache the device arrays on the view graph. Through the
+    tunneled PJRT client jnp.asarray BLOCKS on the transfer (measured:
+    an inline prefetch just moved ~1 s from the inlier sweep into the
+    relpose prep), so the upload runs off-thread and
+    _join_match_features() collects it where it's consumed."""
+    if vg.num_matches == 0 or \
+            getattr(vg, "_match_fdev_thread", None) is not None or \
+            getattr(vg, "_match_fdev", None) is not None:
         return
+    import threading
     fdt = np.uint16 if (vg.match_f1.max(initial=0) < 2 ** 16 and
                         vg.match_f2.max(initial=0) < 2 ** 16) else np.int32
-    vg._match_fdev = (jnp.asarray(vg.match_f1.astype(fdt)),
-                      jnp.asarray(vg.match_f2.astype(fdt)))
+    f1 = vg.match_f1.astype(fdt)
+    f2 = vg.match_f2.astype(fdt)
+
+    def upload():
+        vg._match_fdev = (jnp.asarray(f1), jnp.asarray(f2))
+
+    th = threading.Thread(target=upload, daemon=True)
+    th.start()
+    vg._match_fdev_thread = th
+
+
+def _join_match_features(vg: ViewGraph):
+    th = getattr(vg, "_match_fdev_thread", None)
+    if th is not None:
+        th.join()
+        vg._match_fdev_thread = None
+    if getattr(vg, "_match_fdev", None) is None:
+        fdt = np.uint16 if (vg.match_f1.max(initial=0) < 2 ** 16 and
+                            vg.match_f2.max(initial=0) < 2 ** 16) \
+            else np.int32
+        vg._match_fdev = (jnp.asarray(vg.match_f1.astype(fdt)),
+                          jnp.asarray(vg.match_f2.astype(fdt)))
+    return vg._match_fdev
 
 
 def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
@@ -182,8 +207,7 @@ def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
     # compact upload: uint16 feature ids when they fit (they do unless an
     # image has >65535 keypoints), int32 otherwise; reuses the prefetch
     # started before the RANSAC phase when available
-    prefetch_match_features(vg)
-    f1d, f2d = vg._match_fdev
+    f1d, f2d = _join_match_features(vg)
     from glomap_tpu.ops import camera_models as cm
     f1 = cm.mean_focal(scene.cam_params[scene.image_camera[vg.pair_i]])
     f2 = cm.mean_focal(scene.cam_params[scene.image_camera[vg.pair_j]])
