@@ -121,7 +121,11 @@ def main():
                         o_sensor=jnp.asarray(data["o_sensor"]),
                         sensor_quat=jnp.asarray(data["sensor_quat"]),
                         sensor_trans=jnp.asarray(data["sensor_trans"]),
-                        num_sensors=len(data["sensor_quat"]))
+                        num_sensors=len(data["sensor_quat"]),
+                        # throughput metric: force the full iteration
+                        # count (the production consecutive-rejection
+                        # exit would stop this near-converged scene)
+                        max_rejections=1 << 30)
         float(out[4])  # host pull = hard sync (block_until_ready alone is
         # unreliable through the remote-execution tunnel)
         return out

@@ -204,12 +204,14 @@ def merge_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
 
     if tracks.num_obs == 0 or vg.num_pairs == 0:
         return 0
+    import time as _time
     mkp1, mkp2 = _inlier_match_endpoints(scene, vg)
     q_img, t_img = scene.image_cam_from_world()
     cpu = jax.local_devices(backend="cpu")[0]
 
     total_moved = 0
-    for _ in range(max(rounds, 1)):
+    for _round in range(max(rounds, 1)):
+        _tr = _time.monotonic()
         n_tr = tracks.num_tracks
         ok_obs = tracks.obs_valid & tracks.valid[tracks.obs_track]
         kp_track = np.full(scene.num_keypoints, -1, dtype=np.int64)
@@ -219,6 +221,8 @@ def merge_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
         ta = kp_track[mkp1]
         tb = kp_track[mkp2]
         cand = (ta >= 0) & (tb >= 0) & (ta != tb)
+        logger.debug("merge round %d: scan %.2fs, %d cand matches",
+                     _round, _time.monotonic() - _tr, int(cand.sum()))
         if not cand.any():
             break
         t1 = np.minimum(ta[cand], tb[cand])
@@ -311,6 +315,8 @@ def merge_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
         tracks.obs_image = tracks.obs_image[order]
         tracks.obs_feature = tracks.obs_feature[order]
         tracks.obs_valid = tracks.obs_valid[order]
+        logger.debug("merge round %d: total %.2fs, %d moved", _round,
+                     _time.monotonic() - _tr, moved)
 
     if total_moved:
         logger.info("Merged tracks: %d observations moved", total_moved)

@@ -171,6 +171,10 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
               # reduced camera system (Ceres `eta`, solver.h; its
               # ITERATIVE_SCHUR default is 1e-1 — ours is tighter)
               cg_tol: float = 1e-2,
+              # consecutive-rejection exit (the Ceres min-trust-region
+              # analog); throughput benches raise it to force a fixed
+              # iteration count
+              max_rejections: int = 8,
               # partition-aware SPMD (parallel/partitioned_ba): when set,
               # the solver runs INSIDE shard_map with observations AND
               # points sharded by graph part and frame/camera parameter
@@ -524,11 +528,15 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         # block builds below, where they delete whole (k*k, O) HBM
         # stacks.
         def J_apply(vf, vc, vs):
-            """camera-side direction -> whitened per-obs 2-vector (2, O)"""
+            """camera-side direction -> whitened per-obs 2-vector (2, O).
+            exact=False: bf16 one-hot expansion — the CG loop absorbs
+            operator rounding (forcing tol 1e-2), no reason to pay the
+            3x-pass exact gather here."""
             vct = jnp.einsum("cij,cj->ci", cam_T, vc)  # tie first
-            out = app(Jf, gather_f(vf)) + app(Jc, gather_c(vct))
+            out = app(Jf, gather_f(vf, exact=False)) + \
+                app(Jc, gather_c(vct, exact=False))
             if optimize_rig:
-                out = out + app(Js, gather_s(vs))
+                out = out + app(Js, gather_s(vs, exact=False))
             return out
 
         def JT_scatter(y):
@@ -543,7 +551,7 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
             return reduce_p(jt(Jp, J_apply(vf, vc, vs)))
 
         def Hcp_apply(vp):
-            return JT_scatter(app(Jp, gather_p(vp)))
+            return JT_scatter(app(Jp, gather_p(vp, exact=False)))
 
         # Schur rhs: b = -g_cam - H_cp Bp_inv (-g_p)
         z_p = jnp.einsum("tij,tj->ti", Bp_inv, -g_p)
@@ -703,7 +711,7 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         # a stalled solve spins to max_iters, measured 200 iters / 2.3 s
         # per stage-6 BA call on the e2e bench vs ~30 needed)
         n_rej = jnp.where(accept, 0, n_rej + 1)
-        done = (accept & (rel < function_tol)) | (n_rej >= 8)
+        done = (accept & (rel < function_tol)) | (n_rej >= max_rejections)
         cost = jnp.where(accept, new_cost, cost)
         return (fq, ft, cp, X, sq, st, lam, cost, it + 1, done, accept,
                 n_rej)

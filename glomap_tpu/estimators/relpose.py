@@ -193,7 +193,11 @@ def _ransac_rounds(key, tab, mask, counts, sq_thres, init_E, init_cnt,
                   jnp.arange(cap, dtype=jnp.int32)[None, None, :]
                   ).astype(x1.dtype)               # (P, S, cap) fused
             smp = jax.lax.dot_general(
-                oh, tab6, (((2,), (2,)), ((0,), (0,))))  # (P, S, 6)
+                oh, tab6, (((2,), (2,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST)  # (P, S, 6)
+            # HIGHEST: one-hot x f32 under bf16x3 reconstructs the f32
+            # sample exactly (default bf16 single-pass rounds the rays
+            # to ~3 digits)
             comps = [smp[:, :, k].reshape(P, 8, hyp_per_round)
                      for k in range(6)]
         else:

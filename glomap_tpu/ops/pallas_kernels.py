@@ -465,7 +465,8 @@ def sorted_segment_rowsum(vals, ids, num_segments: int, width: int,
     return out[:num_segments]
 
 
-def _sorted_gather_kernel(ids_ref, tab_ref, out_ref, *, win):
+def _sorted_gather_kernel(ids_ref, tab_ref, out_ref, *, win,
+                          exact=True):
     ids = ids_ref[0, :]  # (B,) int32; block spans < win - 128 distinct ids
     # lane-dim DMA offsets must be 128-aligned: round the window start
     # down (the window is sized with 128 slack for this)
@@ -482,7 +483,8 @@ def _sorted_gather_kernel(ids_ref, tab_ref, out_ref, *, win):
         out_ref[...] = jax.lax.dot_general(
             scratch[...], oh.astype(scratch.dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=scratch.dtype)
+            preferred_element_type=scratch.dtype,
+            precision=(jax.lax.Precision.HIGHEST if exact else None))
 
     pl.run_scoped(body,
                   scratch=pltpu.VMEM((tab_ref.shape[0], win),
@@ -490,15 +492,23 @@ def _sorted_gather_kernel(ids_ref, tab_ref, out_ref, *, win):
                   sem=pltpu.SemaphoreType.DMA(()))
 
 
-@partial(jax.jit, static_argnames=("width", "block", "interpret"))
+@partial(jax.jit, static_argnames=("width", "block", "interpret",
+                                   "exact"))
 def sorted_segment_gather(tab, ids, width: int, block: int = 2048,
-                          interpret: bool = False):
+                          interpret: bool = False, exact: bool = True):
     """tab (num_segments, k), ids (O,) int32 sorted -> (k, O) lane-major
     gather tab[ids].T — the dual of sorted_segment_rowsum. Lane-axis
     gathers run at ~5 GB/s on TPU (measured); this kernel DMAs the
     lane window a sorted block can touch (the table rides the lane axis,
     transposed) into VMEM and expands it with a local one-hot matmul on
-    the MXU."""
+    the MXU.
+
+    exact=True runs the one-hot dot at HIGHEST precision: one-hot x f32
+    under bf16x3 reconstructs the f32 value EXACTLY (default bf16 rounds
+    every gathered value to ~3 digits — enough to shift threshold
+    classifications and to set a spurious BA cost floor, both measured).
+    Pass exact=False inside iterative solvers whose outer loop absorbs
+    operator noise (the BA CG matvec) to save the 3x MXU passes."""
     T, k = tab.shape
     O = ids.shape[0]
     dtype = tab.dtype
@@ -516,7 +526,7 @@ def sorted_segment_gather(tab, ids, width: int, block: int = 2048,
     tab_T = jnp.pad(tab.T, ((0, k_pad - k), (0, win)))  # (k_pad, T + win)
 
     out = pl.pallas_call(
-        partial(_sorted_gather_kernel, win=win),
+        partial(_sorted_gather_kernel, win=win, exact=exact),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, block), lambda i: (0, i),
@@ -647,7 +657,8 @@ def _gather_dot_kernel(ids_ref, U_ref, tab_ref, out_ref, *, win, k, nr):
         rows = jax.lax.dot_general(
             scratch[...], oh.astype(scratch.dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=scratch.dtype)  # (k_pad, B) in VMEM
+            preferred_element_type=scratch.dtype,
+            precision=jax.lax.Precision.HIGHEST)  # (k_pad, B) in VMEM
         U = U_ref[...]
         out_ref[...] = jnp.stack(
             [sum(U[r * k + j] * rows[j] for j in range(k))

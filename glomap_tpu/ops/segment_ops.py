@@ -120,9 +120,9 @@ def _make_axis_ops_local(idx, n_seg, num_obs, dtype, sorted_width,
             return sorted_segment_rowsum(vals, idx, n_seg,
                                          sorted_width, interpret=interp)
 
-        def gather(tab):
+        def gather(tab, exact=True):
             return sorted_segment_gather(tab, idx, sorted_width,
-                                         interpret=interp)
+                                         interpret=interp, exact=exact)
         return reduce, gather
 
     if n_seg * num_obs <= one_hot_budget:
@@ -131,7 +131,7 @@ def _make_axis_ops_local(idx, n_seg, num_obs, dtype, sorted_width,
         def reduce(vals):
             return jnp.einsum("ko,on->nk", vals, onehot)
 
-        def gather(tab):
+        def gather(tab, exact=True):
             return jnp.einsum("nk,on->ko", tab, onehot)
         return reduce, gather
 
@@ -140,6 +140,6 @@ def _make_axis_ops_local(idx, n_seg, num_obs, dtype, sorted_width,
             [jax.ops.segment_sum(vals[i], idx, num_segments=n_seg)
              for i in range(vals.shape[0])], axis=-1)
 
-    def gather(tab):
+    def gather(tab, exact=True):
         return tab.T[:, idx]
     return reduce, gather

@@ -41,7 +41,8 @@ from glomap_tpu.scene.view_graph import (
     CONFIG_PANORAMIC, CONFIG_PLANAR_OR_PANORAMIC)
 
 
-@partial(jax.jit, static_argnames=("num_pairs", "num_matches"))
+@partial(jax.jit, static_argnames=("num_pairs", "num_matches",
+                                   "mp_width"))
 def _score_matches(num_pairs, num_matches,
                    # per-pair arrays
                    config, pair_q, pair_t, pair_F, pair_H, pair_valid,
@@ -51,7 +52,10 @@ def _score_matches(num_pairs, num_matches,
                    offsets, pair_i, pair_j, kp_offset, f1c, f2c,
                    kp_rayT, kp_xyT,
                    # thresholds
-                   thres_E, thres_F, thres_H):
+                   thres_E, thres_F, thres_H,
+                   # static max pair-id span of any 2048-match block
+                   # (matches are pair-sorted; 0 = composed gathers)
+                   mp_width: int = 0):
     """Returns (packed match_inlier bits, pair_num_inliers, pair_score).
 
     Keypoints stay device-resident (3/2, K); per-match data comes from
@@ -59,7 +63,20 @@ def _score_matches(num_pairs, num_matches,
     two uint16 feature-id rows (the (M,) int32 uploads were ~100 MB at
     8M matches) — and the inlier mask returns BIT-PACKED (M/8 bytes;
     the 8 MB bool download through the ~25 MB/s tunnel was the longest
-    pole of the sweep)."""
+    pole of the sweep).
+
+    On TPU every per-pair -> per-match expansion rides ONE fused
+    (P, 53)-table sorted-window Pallas gather and the per-pair
+    reductions ride sorted-window rowsums (the match axis is sorted by
+    pair): the composed lane-axis gathers of ~50 per-pair rows were 41%
+    of the sweep's device profile at ~zero HBM utilization (~5 GB/s
+    lane gathers, CLAUDE.md)."""
+    from glomap_tpu.ops.pallas_kernels import (_on_tpu,
+                                               sorted_segment_gather,
+                                               sorted_segment_rowsum)
+    use_sorted = mp_width > 0 and _on_tpu()
+    dtype = kp_rayT.dtype
+
     mp = jnp.searchsorted(offsets[1:], jnp.arange(num_matches),
                           side="right").astype(jnp.int32)
     kp1 = kp_offset[pair_i[mp]].astype(jnp.int32) + f1c.astype(jnp.int32)
@@ -69,20 +86,12 @@ def _score_matches(num_pairs, num_matches,
     one_row = jnp.ones((1, kp1.shape[0]), kp_xyT.dtype)
     px1T = jnp.concatenate([kp_xyT[:, kp1], one_row], axis=0)
     px2T = jnp.concatenate([kp_xyT[:, kp2], one_row], axis=0)
-    cfg_m = config[mp]
-    valid_m = pair_valid[mp]
-    one = jnp.ones_like(px1T[0])
 
-    # ---- Essential (rays, normalized threshold) ----
-    E9T = jax.vmap(lambda q, t: tv.essential_from_motion(q, t).reshape(9))(
-        pair_q, pair_t).T  # (9, P)
+    # ---- per-pair quantities (computed once per pair, P-sized) ----
+    E9 = jax.vmap(lambda q, t: tv.essential_from_motion(q, t).reshape(9))(
+        pair_q, pair_t)                      # (P, 9)
+    R9 = jax.vmap(lambda q: rotm.quat_to_rotmat(q).reshape(9))(pair_q)
     thrE = thres_E * 0.5 * (1.0 / focal1 + 1.0 / focal2)
-    sq_thrE_m = (thrE * thrE)[mp]
-    r2_E = tv.sampson_error_sq_rows(E9T[:, mp], ray1T, ray2T)
-    from glomap_tpu.estimators.relpose import _cheirality_rows
-    R9T = jax.vmap(lambda q: rotm.quat_to_rotmat(q).reshape(9))(pair_q).T
-    cheir = _cheirality_rows(R9T[:, mp], pair_t.T[:, mp], ray1T, ray2T,
-                             min_depth=1e-2, max_depth=100.0)
     # epipole proximity degeneracy (cos 3 deg)
     ep12 = pair_t
     ep12 = jnp.where(ep12[..., 2:3] < 0, -ep12, ep12)
@@ -92,9 +101,61 @@ def _score_matches(num_pairs, num_matches,
     ep21 = jnp.where(ti[..., 2:3] < 0, -ti, ti)
     ep21 = ep21 / jnp.maximum(jnp.linalg.norm(ep21, axis=-1, keepdims=True),
                               1e-12)
+    epi = jnp.cross(pair_F[:, 0, :], pair_F[:, 2, :])
+    epi_alt = jnp.cross(pair_F[:, 1, :], pair_F[:, 2, :])
+    use_alt = jnp.max(jnp.abs(epi), axis=-1) <= 1e-12
+    epi = jnp.where(use_alt[:, None], epi_alt, epi)
+    is_E_p = config == CONFIG_CALIBRATED
+    is_F_p = config == CONFIG_UNCALIBRATED
+    is_H_p = (config == CONFIG_PLANAR) | (config == CONFIG_PANORAMIC) | \
+        (config == CONFIG_PLANAR_OR_PANORAMIC)
+
+    def expand(tab_P_k):
+        """(P, k) per-pair table -> (k, M) per-match rows."""
+        if use_sorted:
+            return sorted_segment_gather(tab_P_k.astype(dtype), mp,
+                                         mp_width)
+        return tab_P_k.astype(dtype).T[:, mp]
+
+    def reduce_rows(vals_k_M):
+        """(k, M) -> (P, k) per-pair sums."""
+        if use_sorted:
+            return sorted_segment_rowsum(vals_k_M, mp, num_pairs,
+                                         mp_width)
+        return jax.ops.segment_sum(vals_k_M.T, mp,
+                                   num_segments=num_pairs)
+
+    tab = jnp.concatenate([
+        E9,                                   # 0:9
+        R9,                                   # 9:18
+        pair_t,                               # 18:21
+        ep21,                                 # 21:24
+        ep12,                                 # 24:27
+        pair_F.reshape(num_pairs, 9),         # 27:36
+        epi,                                  # 36:39
+        pair_H.reshape(num_pairs, 9),         # 39:48
+        (thrE * thrE)[:, None],               # 48
+        pair_valid[:, None].astype(E9.dtype),  # 49
+        is_E_p[:, None].astype(E9.dtype),     # 50
+        is_F_p[:, None].astype(E9.dtype),     # 51
+        is_H_p[:, None].astype(E9.dtype),     # 52
+    ], axis=1)
+    rows = expand(tab)
+    E9_m, R9_m, t_m = rows[0:9], rows[9:18], rows[18:21]
+    e21T, e12T = rows[21:24], rows[24:27]
+    F9_m, epiT, H9_m = rows[27:36], rows[36:39], rows[39:48]
+    sq_thrE_m = rows[48]
+    valid_m = rows[49] > 0.5
+    is_E = rows[50] > 0.5
+    is_F = rows[51] > 0.5
+    is_H = rows[52] > 0.5
+
+    # ---- Essential (rays, normalized threshold) ----
+    r2_E = tv.sampson_error_sq_rows(E9_m, ray1T, ray2T)
+    from glomap_tpu.estimators.relpose import _cheirality_rows
+    cheir = _cheirality_rows(R9_m, t_m, ray1T, ray2T,
+                             min_depth=1e-2, max_depth=100.0)
     cos3 = jnp.cos(jnp.deg2rad(3.0)) + 1e-6
-    e21T = ep21.T[:, mp]
-    e12T = ep12.T[:, mp]
     d1 = ray1T[0] * e21T[0] + ray1T[1] * e21T[1] + ray1T[2] * e21T[2]
     d2 = ray2T[0] * e12T[0] + ray2T[1] * e12T[1] + ray2T[2] * e12T[2]
     near_epipole = (d1 >= cos3) | (d2 >= cos3)
@@ -102,40 +163,28 @@ def _score_matches(num_pairs, num_matches,
 
     # ---- Fundamental (pixels) ----
     sq_thrF = thres_F * thres_F
-    F9T = pair_F.reshape(num_pairs, 9).T  # (9, P)
-    F9_m = F9T[:, mp]
     r2_F = tv.sampson_error_sq_rows(F9_m, px1T, px2T)
     pre_F = r2_F < sq_thrF
     # orientation signum majority vote per pair
-    epi = jnp.cross(pair_F[:, 0, :], pair_F[:, 2, :])
-    epi_alt = jnp.cross(pair_F[:, 1, :], pair_F[:, 2, :])
-    use_alt = jnp.max(jnp.abs(epi), axis=-1) <= 1e-12
-    epi = jnp.where(use_alt[:, None], epi_alt, epi)
-    epiT = epi.T[:, mp]  # (3, M)
     # signum rows: s1 = F00 x2 + F10 y2 + F20; s2 = e1 - e2 * y1
     s1 = F9_m[0] * px2T[0] + F9_m[3] * px2T[1] + F9_m[6]
     s2 = epiT[1] - epiT[2] * px1T[1]
     sig = s1 * s2
-    is_F = cfg_m == CONFIG_UNCALIBRATED
     votes = jnp.where(pre_F & is_F, jnp.sign(sig), 0.0)
-    vote_sum = jax.ops.segment_sum(votes, mp, num_segments=num_pairs)
-    tie = vote_sum == 0
-    maj = jnp.sign(vote_sum)
-    ok_F = pre_F & (jnp.sign(sig) == maj[mp]) & ~tie[mp]
+    vote_sum = reduce_rows(votes[None, :])[:, 0]
+    tie_maj = jnp.stack([(vote_sum == 0).astype(E9.dtype),
+                         jnp.sign(vote_sum)], axis=1)  # (P, 2)
+    tm_rows = expand(tie_maj)
+    ok_F = pre_F & (jnp.sign(sig) == tm_rows[1]) & ~(tm_rows[0] > 0.5)
 
     # ---- Homography (pixels) ----
     sq_thrH = thres_H * thres_H
-    H9_m = pair_H.reshape(num_pairs, 9).T[:, mp]
     Hx0 = H9_m[0] * px1T[0] + H9_m[1] * px1T[1] + H9_m[2]
     Hx1 = H9_m[3] * px1T[0] + H9_m[4] * px1T[1] + H9_m[5]
     Hx2 = H9_m[6] * px1T[0] + H9_m[7] * px1T[1] + H9_m[8]
     zi = 1.0 / (Hx2 + 1e-12)
     r2_H = (Hx0 * zi - px2T[0]) ** 2 + (Hx1 * zi - px2T[1]) ** 2
     ok_H = r2_H < sq_thrH
-
-    is_E = cfg_m == CONFIG_CALIBRATED
-    is_H = (cfg_m == CONFIG_PLANAR) | (cfg_m == CONFIG_PANORAMIC) | \
-        (cfg_m == CONFIG_PLANAR_OR_PANORAMIC)
 
     inlier = jnp.where(is_E, ok_E, jnp.where(is_F, ok_F, ok_H & is_H))
     inlier = inlier & valid_m
@@ -147,9 +196,9 @@ def _score_matches(num_pairs, num_matches,
                     jnp.where(is_F, sq_thrF, sq_thrH))
     score_m = jnp.where(inlier, r2, cap)
 
-    n_inl = jax.ops.segment_sum(inlier.astype(jnp.int32), mp,
-                                num_segments=num_pairs)
-    score = jax.ops.segment_sum(score_m, mp, num_segments=num_pairs)
+    sums = reduce_rows(jnp.stack([inlier.astype(dtype), score_m]))
+    n_inl = sums[:, 0].astype(jnp.int32)
+    score = sums[:, 1]
     return jnp.packbits(inlier), n_inl, score
 
 
@@ -202,16 +251,22 @@ def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
     opts = opts or InlierThresholds()
     if vg.num_matches == 0:
         return
+    import logging
+    import time as _time
+    _t0 = _time.monotonic()
     from glomap_tpu.processors.undistortion import device_keypoints
     kp_rayT, kp_xyT = device_keypoints(scene)
     # compact upload: uint16 feature ids when they fit (they do unless an
     # image has >65535 keypoints), int32 otherwise; reuses the prefetch
     # started before the RANSAC phase when available
     f1d, f2d = _join_match_features(vg)
+    _t1 = _time.monotonic()
     from glomap_tpu.ops import camera_models as cm
     f1 = cm.mean_focal(scene.cam_params[scene.image_camera[vg.pair_i]])
     f2 = cm.mean_focal(scene.cam_params[scene.image_camera[vg.pair_j]])
 
+    from glomap_tpu.ops.pallas_kernels import block_width_for_sorted
+    mp_width = block_width_for_sorted(vg.match_pair)
     packed, n_inl, score = _score_matches(
         vg.num_pairs, vg.num_matches,
         jnp.asarray(vg.pair_config), jnp.asarray(vg.pair_quat),
@@ -223,9 +278,14 @@ def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
         f1d, f2d,
         kp_rayT, kp_xyT,
         float(opts.max_epipolar_error_E), float(opts.max_epipolar_error_F),
-        float(opts.max_epipolar_error_H))
+        float(opts.max_epipolar_error_H), mp_width=mp_width)
 
+    _t2 = _time.monotonic()
     vg.match_inlier = np.unpackbits(
         np.asarray(packed), count=vg.num_matches).astype(bool)
     vg.pair_num_inliers = np.array(n_inl, dtype=np.int64, copy=True)
-    return np.array(score, dtype=np.float64, copy=True)
+    out = np.array(score, dtype=np.float64, copy=True)
+    logging.getLogger(__name__).debug(
+        "inlier sweep: upload-join %.2fs, dispatch %.2fs, pull %.2fs",
+        _t1 - _t0, _t2 - _t1, _time.monotonic() - _t2)
+    return out

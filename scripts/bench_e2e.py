@@ -61,8 +61,10 @@ def main():
                         "--points", str(args.points)], env=env, check=True)
 
     import logging
-    logging.basicConfig(level=logging.INFO,
-                        format="%(asctime)s %(name)s: %(message)s")
+    logging.basicConfig(
+        level=getattr(logging, os.environ.get("GLOMAP_LOG", "INFO")),
+        format="%(asctime)s %(name)s: %(message)s")
+    logging.getLogger("jax").setLevel(logging.INFO)
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_tpu_cache")

@@ -169,6 +169,7 @@ def main():
                         num_cams=sizes["num_cams"],
                         num_points=sizes["num_points"],
                         huber_delta=1.0, function_tol=0.0,
+                        max_rejections=1 << 30,
                         max_iters=n_iters, cg_iters=30,
                         optimize_points=True, fast_path=fast,
                         point_width=point_width, frame_width=frame_width,

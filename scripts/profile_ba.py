@@ -45,7 +45,8 @@ def main():
         out = _solve_ba(*args, num_frames=sizes["num_frames"],
                         num_cams=sizes["num_cams"],
                         num_points=sizes["num_points"],
-                        huber_delta=1.0, function_tol=0.0, max_iters=n,
+                        huber_delta=1.0, function_tol=0.0,
+                        max_rejections=1 << 30, max_iters=n,
                         cg_iters=30, optimize_points=True, fast_path=fast,
                         point_width=sizes["point_width"],
                         frame_width=sizes["frame_width"],
