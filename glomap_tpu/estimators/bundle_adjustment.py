@@ -294,9 +294,19 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         n_sens_t = max(num_sensors, 1)
         o_fs = o_frame * n_sens_t + o_sensor
         # frame window of span w covers an fs window of span w * S
-        gather_fs = make_axis_ops(o_fs, num_frames * n_sens_t,
-                                  frame_width * n_sens_t)[1]
+        reduce_fs, gather_fs = make_axis_ops(
+            o_fs, num_frames * n_sens_t, frame_width * n_sens_t)[:2]
         uvT_const = o_uv.T  # (2, O), constant
+        # sensor -> camera (functional: every sensor has one camera);
+        # lets the CG matvec ride ONE fused (F*S, 22/28)-column table
+        # instead of separate frame/camera gathers + reductions. Under
+        # shard_map the local obs may not cover every sensor — pmax
+        # reconciles the map across devices (uncovered slots stay 0 and
+        # carry zero contributions either way)
+        cam_of_s = jnp.zeros((n_sens_t,), jnp.int32).at[o_sensor].set(
+            o_cam)
+        if mesh_axis is not None:
+            cam_of_s = jax.lax.pmax(cam_of_s, mesh_axis)
 
     def _persp_rows(fq, ft, sq, st, cp, X):
         """((M9 (9,O), S9 (9,O), b3 (3,O), X3 (3,O), uvT (2,O), k16
@@ -527,24 +537,55 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         # fine. The fused kernels earn their keep on the once-per-LM
         # block builds below, where they delete whole (k*k, O) HBM
         # stacks.
-        def J_apply(vf, vc, vs):
-            """camera-side direction -> whitened per-obs 2-vector (2, O).
-            exact=False: bf16 one-hot expansion — the CG loop absorbs
-            operator rounding (forcing tol 1e-2), no reason to pay the
-            3x-pass exact gather here."""
-            vct = jnp.einsum("cij,cj->ci", cam_T, vc)  # tie first
-            out = app(Jf, gather_f(vf, exact=False)) + \
-                app(Jc, gather_c(vct, exact=False))
-            if optimize_rig:
-                out = out + app(Js, gather_s(vs, exact=False))
-            return out
+        # Fused (frame (+) camera (+) sensor) matvec operators: at CG
+        # scales the step is dispatch-latency bound, so the win is FEWER
+        # index ops per matvec, not faster ones — one (F*S, 22/28)-column
+        # table gather replaces the separate frame/camera/sensor gathers
+        # and ONE fs reduction (+ tiny S-sized folds) replaces the three
+        # segment reductions. exact=False: bf16 one-hot expansion — the
+        # CG loop absorbs operator rounding (forcing tol 1e-2).
+        if use_tables:
+            Jfc = jnp.concatenate(
+                [Jf, Jc] + ([Js] if optimize_rig else []), axis=1)
+            kfc = 28 if optimize_rig else 22
 
-        def JT_scatter(y):
-            """whitened per-obs 2-vector -> camera-side grads"""
-            out_f = reduce_f(jt(Jf, y))
-            out_c = tie_g(reduce_c(jt(Jc, y)))
-            out_s = reduce_s(jt(Js, y)) if optimize_rig else None
-            return out_f, out_c, out_s
+            def J_apply(vf, vc, vs):
+                vct = jnp.einsum("cij,cj->ci", cam_T, vc)  # tie first
+                parts = [jnp.broadcast_to(vf[:, None, :],
+                                          (num_frames, n_sens_t, 6)),
+                         jnp.broadcast_to(vct[cam_of_s][None],
+                                          (num_frames, n_sens_t, 16))]
+                if optimize_rig:
+                    parts.append(jnp.broadcast_to(
+                        vs[None], (num_frames, n_sens_t, 6)))
+                tabv = jnp.concatenate(parts, axis=2).reshape(
+                    num_frames * n_sens_t, kfc)
+                return app(Jfc, gather_fs(tabv, exact=False))
+
+            def JT_scatter(y):
+                acc = reduce_fs(jt(Jfc, y)).reshape(
+                    num_frames, n_sens_t, kfc)
+                out_f = jnp.sum(acc[:, :, 0:6], axis=1)
+                c_parts = jnp.sum(acc[:, :, 6:22], axis=0)  # (S, 16)
+                out_c = tie_g(jnp.zeros((num_cams, 16), dtype)
+                              .at[cam_of_s].add(c_parts))
+                out_s = jnp.sum(acc[:, :, 22:28], axis=0) \
+                    if optimize_rig else None
+                return out_f, out_c, out_s
+        else:
+            def J_apply(vf, vc, vs):
+                vct = jnp.einsum("cij,cj->ci", cam_T, vc)  # tie first
+                out = app(Jf, gather_f(vf, exact=False)) + \
+                    app(Jc, gather_c(vct, exact=False))
+                if optimize_rig:
+                    out = out + app(Js, gather_s(vs, exact=False))
+                return out
+
+            def JT_scatter(y):
+                out_f = reduce_f(jt(Jf, y))
+                out_c = tie_g(reduce_c(jt(Jc, y)))
+                out_s = reduce_s(jt(Js, y)) if optimize_rig else None
+                return out_f, out_c, out_s
 
         def Hpc_apply(vf, vc, vs):
             """camera-side direction -> point-side (num_points, 3)"""
