@@ -167,6 +167,10 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
               # per-camera kind (C,) int for the all-kind fast path
               # (perspective/fisheye/FOV); None = all perspective
               cam_kind=None,
+              # replicated (S,) sensor->camera map (required under
+              # shard_map where local obs may not cover every sensor;
+              # None = derive from the local obs)
+              cam_of_sensor=None,
               # inexact-Newton forcing tolerance for the inner CG on the
               # reduced camera system (Ceres `eta`, solver.h; its
               # ITERATIVE_SCHUR default is 1e-1 — ours is tighter)
@@ -300,13 +304,16 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         # sensor -> camera (functional: every sensor has one camera);
         # lets the CG matvec ride ONE fused (F*S, 22/28)-column table
         # instead of separate frame/camera gathers + reductions. Under
-        # shard_map the local obs may not cover every sensor — pmax
-        # reconciles the map across devices (uncovered slots stay 0 and
-        # carry zero contributions either way)
-        cam_of_s = jnp.zeros((n_sens_t,), jnp.int32).at[o_sensor].set(
-            o_cam)
-        if mesh_axis is not None:
-            cam_of_s = jax.lax.pmax(cam_of_s, mesh_axis)
+        # shard_map the local obs may not cover every sensor, so the
+        # distributed callers pass the host-derived replicated map
+        # (cam_of_sensor = scene.sensor_camera); a pmax reconciliation
+        # was measured to SEGFAULT the XLA:CPU multi-process compile
+        # (test_multihost), so no collective is used here.
+        if cam_of_sensor is not None:
+            cam_of_s = cam_of_sensor.astype(jnp.int32)
+        else:
+            cam_of_s = jnp.zeros((n_sens_t,), jnp.int32).at[
+                o_sensor].set(o_cam)
 
     def _persp_rows(fq, ft, sq, st, cp, X):
         """((M9 (9,O), S9 (9,O), b3 (3,O), X3 (3,O), uvT (2,O), k16

@@ -210,13 +210,17 @@ def _solve_gp(c0, X0,
         b_f = -g_c - reduce_f(-apply_aP(gather_p(z)))
 
         def schur_mv(v):
+            # exact=False: bf16 one-hot expansion inside the CG loop —
+            # the forcing-tolerance outer loop absorbs operator rounding
+            # (see bundle_adjustment J_apply)
             out = jnp.einsum("fij,fj->fi", B_f_d, v)
             if num_cc:
-                out = out + reduce_ci(-apply_aPc(gather_cj(v))) \
-                    + reduce_cj(-apply_aPc(gather_ci(v)))
-            Hpcv = reduce_p(-apply_aP(gather_f(v)))
+                out = out + reduce_ci(-apply_aPc(gather_cj(v,
+                                                           exact=False))) \
+                    + reduce_cj(-apply_aPc(gather_ci(v, exact=False)))
+            Hpcv = reduce_p(-apply_aP(gather_f(v, exact=False)))
             z2 = jnp.einsum("tij,tj->ti", Bp_inv, Hpcv)
-            return out - reduce_f(-apply_aP(gather_p(z2)))
+            return out - reduce_f(-apply_aP(gather_p(z2, exact=False)))
 
         # block-Jacobi preconditioner from the damped frame blocks
         Bf_inv = inv3x3(B_f_d)

@@ -317,20 +317,21 @@ def _partitioned_ba_fn(mesh, axis: str, statics_items: tuple):
 
     def body(points, o_frame, o_cam, o_point, o_sensor, o_kind, o_uv, o_w,
              o_sq, o_st, fq, ft, cp, cam_kind, cam_T, frame_mask, sq, st,
-             sm):
+             sm, cam_of_sensor):
         fqo, fto, cpo, X, cost, it, sqo, sto = _solve_ba(
             fq, ft, cp, points[0],
             o_frame[0], o_cam[0], o_point[0], o_sq[0], o_st[0],
             o_kind[0], o_uv[0], cam_T, o_w[0], frame_mask,
             o_sensor=o_sensor[0], sensor_quat=sq, sensor_trans=st,
-            sensor_mask=sm, cam_kind=cam_kind, mesh_axis=axis, **stat)
+            sensor_mask=sm, cam_kind=cam_kind, mesh_axis=axis,
+            cam_of_sensor=cam_of_sensor, **stat)
         return fqo, fto, cpo, X[None], cost, it, sqo, sto
 
     sharded = P(axis)
     repl = P()
     return jax.jit(shard_map(
         body, mesh=mesh,
-        in_specs=(sharded,) * 10 + (repl,) * 9,
+        in_specs=(sharded,) * 10 + (repl,) * 10,
         out_specs=(repl, repl, repl, sharded, repl, repl, repl, repl),
         check_vma=False))
 
@@ -379,7 +380,10 @@ def solve_ba_partitioned(scene: Scene, tracks: Tracks, mesh,
         _pr(params["cam_params"]), _pr(params["cam_kind"]),
         _pr(params["cam_T"]),
         _pr(params["frame_mask"]), _pr(params["sensor_quat"]),
-        _pr(params["sensor_trans"]), _pr(params["sensor_mask"]))
+        _pr(params["sensor_trans"]), _pr(params["sensor_mask"]),
+        # replicated host-derived sensor->camera map: local obs shards
+        # may not cover every sensor (see _solve_ba cam_of_sensor)
+        _pr(scene.sensor_camera.astype(np.int32)))
 
     if return_arrays:
         return (fq, ft, cp, X, cost, it, sq, st), plan
