@@ -635,22 +635,24 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
 
         def schur_mv(v):
             vf, vc, vs = unpack(v)
-            # H_cc v (includes frame-intrinsic-sensor cross terms)
+            # S v = J^T (y - J_p Bp_inv J_p^T y) + D v with y = J v:
+            # JT_scatter is linear, so the H_cc term and the -H_cp Bp_inv
+            # H_pc correction share ONE fs-table reduction on (y - y2)
+            # instead of two (the step is dispatch-latency bound —
+            # BENCH_NOTES; this deletes the second-hottest op per matvec).
+            # y2 reuses y = J v directly (the Pallas segment kernels are
+            # custom calls XLA will not CSE, so the second J_apply the
+            # naive formula implies would run for real).
             y = J_apply(vf, vc, vs)
-            out_f, out_c, out_s = JT_scatter(y)
+            zp = jnp.einsum("tij,tj->ti", Bp_inv, reduce_p(jt(Jp, y)))
+            y2 = app(Jp, gather_p(zp, exact=False))
+            out_f, out_c, out_s = JT_scatter(y - y2)
             # damping contribution (block diagonals only)
             out_f = out_f + d_f * vf
             out_c = out_c + d_c * vc
             if optimize_rig:
-                out_s = out_s + d_s * vs
-            # minus H_cp Bp_inv H_pc v; H_pc v reuses y = J v (the Pallas
-            # segment kernels are custom calls XLA will not CSE, so the
-            # second J_apply the naive formula implies would run for real)
-            zp = jnp.einsum("tij,tj->ti", Bp_inv, reduce_p(jt(Jp, y)))
-            cf, cc, cs = Hcp_apply(zp)
-            if optimize_rig:
-                return pack(out_f - cf, out_c - cc, out_s - cs)
-            return pack(out_f - cf, out_c - cc, None)
+                return pack(out_f, out_c, out_s + d_s * vs)
+            return pack(out_f, out_c, None)
 
         # SCHUR_JACOBI preconditioner (Ceres's): block diagonal of the
         # Schur complement itself, S_ff = B_f - sum_o C_o Bp_inv C_o^T
