@@ -113,15 +113,40 @@ def complete_tracks_from_matches(scene: Scene, vg: ViewGraph,
     b = np.concatenate([kp2, kp1])
     reg_b = reg_img[kp_image[b]]
 
+    import time as _time
     total_added = 0
-    for _ in range(max(rounds, 1)):
+    newly = None  # None = first round (every explained endpoint is new)
+    for _round in range(max(rounds, 1)):
+        _t0 = _time.monotonic()
         kp_track = np.full(scene.num_keypoints, -1, dtype=np.int64)
         ok_obs = tracks.obs_valid & tracks.valid[tracks.obs_track]
         kp_idx = scene.kp_offset[tracks.obs_image] + tracks.obs_feature
         kp_track[kp_idx[ok_obs]] = tracks.obs_track[ok_obs]
 
-        # candidates: one endpoint explained, the other not
-        cand = (kp_track[a] >= 0) & (kp_track[b] < 0) & reg_b
+        # candidates: one endpoint explained, the other not. Rounds 2+
+        # are INCREMENTAL: the track geometry is fixed inside this loop,
+        # so a (kp, track) candidate rejected on reprojection stays
+        # rejected forever — fresh candidates can only enter through an
+        # endpoint explained in the PREVIOUS round. Restricting the scan
+        # to those rows makes the later rounds (which mostly re-rejected
+        # the same ~100k candidates) near-free.
+        # The scan gathers BOOL flags per match endpoint (1 byte/row) and
+        # each direction once (a/b are the two concatenated directions of
+        # the same 8M-match list): the direct kp_track[a]/kp_track[b]
+        # int64 gathers over 2x16M rows were ~0.7-1.0 s of host time;
+        # the per-track ids are looked up only for the surviving rows.
+        if newly is None:
+            expl = kp_track >= 0
+            e1 = expl[kp1]
+            e2 = expl[kp2]
+            cand = np.concatenate([e1 & ~e2, e2 & ~e1]) & reg_b
+        else:
+            nw = newly[kp1]
+            nw2 = newly[kp2]
+            unex = kp_track < 0
+            cand = np.concatenate([nw & unex[kp2],
+                                   nw2 & unex[kp1]]) & reg_b
+        _t1 = _time.monotonic()
         ckp = b[cand]
         ctr = kp_track[a[cand]]
         if len(ckp) == 0:
@@ -131,6 +156,9 @@ def complete_tracks_from_matches(scene: Scene, vg: ViewGraph,
         uniq = np.unique(key)
         ckp = uniq // tracks.num_tracks
         ctr = uniq % tracks.num_tracks
+        _t2 = _time.monotonic()
+        logger.debug("match-complete round %d: scan %.2fs, dedupe %.2fs, "
+                     "%d cand", _round, _t1 - _t0, _t2 - _t1, len(ckp))
 
         img = kp_image[ckp]
         cam = scene.image_camera[img]
@@ -141,6 +169,8 @@ def complete_tracks_from_matches(scene: Scene, vg: ViewGraph,
             jax.device_put(scene.cam_kind[cam], cpu),
             jax.device_put(pt_cam, cpu)))
         err = np.linalg.norm(px - scene.kp_xy[ckp], axis=-1)
+        logger.debug("match-complete round %d: project %.2fs", _round,
+                     _time.monotonic() - _t2)
         good = (err < max_reproj_px) & (pt_cam[:, 2] > 1e-12)
         if not good.any():
             break
@@ -152,6 +182,8 @@ def complete_tracks_from_matches(scene: Scene, vg: ViewGraph,
         first[1:] = gkp[1:] != gkp[:-1]
         gkp = gkp[first]
         gtr = gtr[first]
+        newly = np.zeros(scene.num_keypoints, dtype=bool)
+        newly[gkp] = True
 
         tracks.obs_track = np.concatenate(
             [tracks.obs_track, gtr.astype(np.int32)])
@@ -225,9 +257,10 @@ def merge_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
                      _round, _time.monotonic() - _tr, int(cand.sum()))
         if not cand.any():
             break
-        t1 = np.minimum(ta[cand], tb[cand])
-        t2 = np.maximum(ta[cand], tb[cand])
-        pair_key = np.unique(t1 * np.int64(n_tr) + t2)
+        t1m = np.minimum(ta[cand], tb[cand])
+        t2m = np.maximum(ta[cand], tb[cand])
+        pair_key, inv = np.unique(t1m * np.int64(n_tr) + t2m,
+                                  return_inverse=True)
         t1 = pair_key // n_tr
         t2 = pair_key % n_tr
         n_cand = len(t1)
@@ -245,6 +278,41 @@ def merge_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
         w2 = n2.astype(np.float64)[:, None]
         merged_xyz = (w1 * tracks.xyz[t1] + w2 * tracks.xyz[t2]) / \
             np.maximum(w1 + w2, 1)
+
+        # EXACT endpoint prefilter: each matched endpoint keypoint IS a
+        # valid observation row of its track (that's how kp_track mapped
+        # it), so the all-obs acceptance below already requires the
+        # merged point to reproject within threshold at both endpoints.
+        # Checking the 2 endpoints per candidate match first (a few k
+        # rows) prunes the expensive per-obs validation (~100 rows per
+        # candidate) to the survivors — in the post-BA refinement rounds
+        # nearly every candidate was already rejected here.
+        ekp = np.concatenate([mkp1[cand], mkp2[cand]])
+        epair = np.concatenate([inv, inv])
+        eimg = np.searchsorted(scene.kp_offset, ekp, side="right") - 1
+        ecam = scene.image_camera[eimg]
+        pt_cam_e = np.asarray(rotm.quat_rotate(
+            q_img[eimg], merged_xyz[epair])) + t_img[eimg]
+        px_e = np.asarray(_img_from_cam_jit(
+            jax.device_put(scene.cam_params[ecam], cpu),
+            jax.device_put(scene.cam_kind[ecam], cpu),
+            jax.device_put(pt_cam_e, cpu)))
+        err_e = np.linalg.norm(px_e - scene.kp_xy[ekp], axis=-1)
+        badp = np.zeros(n_cand, dtype=bool)
+        np.logical_or.at(badp, epair,
+                         (err_e >= max_reproj_px) |
+                         (pt_cam_e[:, 2] <= 1e-12))
+        survive = ~badp
+        logger.debug("merge round %d: %d/%d pairs past endpoint "
+                     "prefilter", _round, int(survive.sum()), n_cand)
+        if not survive.any():
+            break
+        t1 = t1[survive]
+        t2 = t2[survive]
+        n1 = n1[survive]
+        n2 = n2[survive]
+        merged_xyz = merged_xyz[survive]
+        n_cand = len(t1)
 
         # flatten (candidate, observation-of-either-track) rows
         cnt = n1 + n2

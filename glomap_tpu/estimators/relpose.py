@@ -415,10 +415,15 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
 
     @jax.jit
     def build_tab(kp_rayT, idx1, idx2, mask):
+        # ONE (K, 3) row gather per endpoint instead of three (K,)
+        # gathers with identical indices — gather cost is per-index
+        # (see pair_inliers._score_matches note)
+        kp_rows = kp_rayT.T
         comps = []
         for idx in (idx1, idx2):
+            g = kp_rows[idx.reshape(-1)].reshape(*idx.shape, 3)
             for k in range(3):
-                c = kp_rayT[k][idx.reshape(-1)].reshape(idx.shape)
+                c = g[..., k]
                 if k == 2:  # padded z stays 1 to avoid div blowups
                     c = jnp.where(mask, c, 1.0)
                 comps.append(c.astype(dtype))
