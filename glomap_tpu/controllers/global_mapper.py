@@ -339,7 +339,8 @@ def _copy_state_into(dst, src) -> None:
     import dataclasses
     for f in dataclasses.fields(dst):
         setattr(dst, f.name, getattr(src, f.name))
-    for cache in ("_kp_rayT_dev", "_kp_xyT_dev", "_match_kp_cache"):
+    for cache in ("_kp_rayT_dev", "_kp_xyT_dev", "_match_kp_cache",
+                  "_full_tracks_cache"):
         if hasattr(dst, cache):
             setattr(dst, cache, None)
 

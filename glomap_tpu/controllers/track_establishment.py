@@ -72,6 +72,19 @@ def establish_full_tracks(scene: Scene, vg: ViewGraph,
     triangulation seeding new points from leftover features)."""
     opts = opts or TrackEstablishmentOptions()
     kp1, kp2 = inlier_match_endpoints(scene, vg)
+    # Full (unmasked) closures repeat identically between stage-4 track
+    # establishment and retriangulation generation 0 — the view-graph
+    # masks don't change in between (stages 5-6 filter TRACK obs, not
+    # matches). Cache on the same mask-content key as the endpoint
+    # cache; a COPY is returned because callers mutate the result.
+    cache_key = None
+    if kp_mask is None:
+        cache_key = (vg.num_matches, hash(vg.pair_valid.tobytes()),
+                     hash(vg.match_inlier.tobytes()),
+                     float(opts.thres_inconsistency))
+        cached = getattr(vg, "_full_tracks_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            return cached[1].copy()
     if kp_mask is not None:
         keep = kp_mask[kp1] & kp_mask[kp2]
         kp1 = kp1[keep]
@@ -145,6 +158,8 @@ def establish_full_tracks(scene: Scene, vg: ViewGraph,
         obs_feature=obs_feature[keep_obs].astype(np.int32),
         obs_valid=np.ones(int(keep_obs.sum()), dtype=bool),
     )
+    if cache_key is not None:
+        vg._full_tracks_cache = (cache_key, tracks.copy())
     return tracks
 
 

@@ -380,12 +380,6 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     dtype = dtype or solver_dtype()
     if vg.num_pairs == 0 or vg.num_matches == 0:
         return
-    # start the inlier sweep's big feature-id upload now: the async
-    # transfer rides under the RANSAC wall instead of serializing in
-    # front of image_pairs_inlier_count (~0.5-1 s at 8M matches)
-    from glomap_tpu.processors.pair_inliers import prefetch_match_features
-    prefetch_match_features(vg)
-
     # ---- pack a bounded random subsample per pair into (P, cap) tables.
     # Sampling is WITH replacement, directly into the table: O(P x cap)
     # gathers instead of the old O(M log M) fused-key argsort over all
@@ -393,6 +387,10 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     # samples in a pair's table only reweight its score — the inlier
     # RATIO the adaptive stopping rule consumes stays unbiased, and the
     # FULL match set is classified downstream by pair_inliers.
+    import logging as _logging
+    import time as _time0
+    _plog = _logging.getLogger(__name__)
+    _tprep = _time0.time()
     rng_np = np.random.default_rng(seed)
     P = vg.num_pairs
     cap = max(int(getattr(opts, "score_match_cap", 512) or 512), 16)
@@ -403,36 +401,57 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     sel = (vg.pair_match_offset[:-1, None] +
            (rng_np.random((P, cap)) *
             np.maximum(total, 1)[:, None]).astype(np.int64))
-    idx1 = (scene.kp_offset[vg.pair_i][:, None] +
-            vg.match_f1[sel]).astype(np.int32)
-    idx2 = (scene.kp_offset[vg.pair_j][:, None] +
-            vg.match_f2[sel]).astype(np.int32)
-    mask_np = np.broadcast_to(
-        (vg.pair_valid & (total > 0))[:, None], (P, cap)).copy()
+    # compact upload: (P, cap) uint16 feature ids + (P,) int32 bases +
+    # (P,) valid rows — the old int32 global-index/mask tables were
+    # 22.5 MB of BLOCKING jnp.asarray transfer racing the 33 MB
+    # feature-id prefetch for tunnel bandwidth; this is ~5 MB, the
+    # global indices and the (P, cap) mask are rebuilt on device
+    f1s_np = vg.match_f1[sel]
+    f2s_np = vg.match_f2[sel]
+    fits16 = max(int(f1s_np.max(initial=0)),
+                 int(f2s_np.max(initial=0))) < (1 << 16)
+    fdt = np.uint16 if fits16 else np.int32
+    f1s_np = f1s_np.astype(fdt)
+    f2s_np = f2s_np.astype(fdt)
+    base1_np = scene.kp_offset[vg.pair_i].astype(np.int32)
+    base2_np = scene.kp_offset[vg.pair_j].astype(np.int32)
+    maskP_np = vg.pair_valid & (total > 0)
 
     from glomap_tpu.processors.undistortion import device_keypoints
     kp_rayT, _ = device_keypoints(scene)
 
     @jax.jit
-    def build_tab(kp_rayT, idx1, idx2, mask):
+    def build_tab(kp_rayT, f1s, f2s, base1, base2, maskP):
         # ONE (K, 3) row gather per endpoint instead of three (K,)
         # gathers with identical indices — gather cost is per-index
-        # (see pair_inliers._score_matches note)
+        # (see pair_inliers._score_matches note); global keypoint
+        # indices are rebuilt on device from the compact uint16 tables
+        mask = jnp.broadcast_to(maskP[:, None], f1s.shape)
         kp_rows = kp_rayT.T
         comps = []
-        for idx in (idx1, idx2):
+        for f, base in ((f1s, base1), (f2s, base2)):
+            idx = base[:, None] + f.astype(jnp.int32)
             g = kp_rows[idx.reshape(-1)].reshape(*idx.shape, 3)
             for k in range(3):
                 c = g[..., k]
                 if k == 2:  # padded z stays 1 to avoid div blowups
                     c = jnp.where(mask, c, 1.0)
                 comps.append(c.astype(dtype))
-        return tuple(comps)
+        return tuple(comps), mask
 
-    tab = build_tab(kp_rayT, jnp.asarray(idx1), jnp.asarray(idx2),
-                    jnp.asarray(mask_np))
-    mask = jnp.asarray(mask_np)
+    _tsel = _time0.time()
+    tab, mask = build_tab(kp_rayT, jnp.asarray(f1s_np),
+                          jnp.asarray(f2s_np), jnp.asarray(base1_np),
+                          jnp.asarray(base2_np), jnp.asarray(maskP_np))
     counts_d = jnp.asarray(counts)
+    _plog.debug("relpose prep: host sel %.2fs, upload+tab dispatch %.2fs",
+                _tsel - _tprep, _time0.time() - _tsel)
+    # start the inlier sweep's big feature-id upload AFTER the prep
+    # tables: the async 33 MB transfer rides under the RANSAC wall, and
+    # launching it first starved the small blocking prep uploads on
+    # congested tunnel sessions (measured 10.6 s prep vs 0.9 s)
+    from glomap_tpu.processors.pair_inliers import prefetch_match_features
+    prefetch_match_features(vg)
 
     # normalized Sampson threshold per pair (same conversion as inlier
     # scoring: px * 0.5 * (1/f1 + 1/f2))

@@ -24,6 +24,20 @@ import jax
 import jax.numpy as jnp
 
 
+def segment_ids_from_offsets(offsets, num_rows: int):
+    """(P+1,) CSR offsets -> (num_rows,) int32 segment ids, on device.
+
+    Equivalent to jnp.searchsorted(offsets[1:], arange(num_rows),
+    side="right") but via scatter-ones-at-segment-ends + cumsum: the
+    vectorized binary search measured 836 ms for 8.3M rows on the v5e
+    (70% of the whole inlier sweep at ~0.1% HBM util); this form is
+    27 ms. Empty segments accumulate +2 at one index and are skipped;
+    the size-(num_rows+1) scratch keeps ends == num_rows (empty trailing
+    segments) in scatter range."""
+    starts = jnp.zeros(num_rows + 1, jnp.int32).at[offsets[1:-1]].add(1)
+    return jnp.cumsum(starts[:num_rows])
+
+
 def axis_window(ids_padded: np.ndarray, cap: int = 4096) -> int:
     """Static Pallas kernel window for a sorted id axis, or 0 if locality
     is too weak for the windowed kernels to pay off (host-side)."""

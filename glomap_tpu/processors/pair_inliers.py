@@ -77,15 +77,11 @@ def _score_matches(num_pairs, num_matches,
     use_sorted = mp_width > 0 and _on_tpu()
     dtype = kp_rayT.dtype
 
-    # lengths -> segment ids WITHOUT searchsorted: the vectorized binary
-    # search over 8.3M needles measured 836 ms on the v5e (70% of the
-    # whole sweep, ~0.1% HBM util); scatter-ones-at-ends + cumsum is the
-    # same mapping in 27 ms. Size M+1 keeps ends == num_matches (empty
-    # trailing pairs) in scatter range; slicing back before the cumsum
-    # restores exact searchsorted(offsets[1:], arange(M), "right")
-    # semantics (empty pairs accumulate +2 at one index and are skipped).
-    starts = jnp.zeros(num_matches + 1, jnp.int32).at[offsets[1:-1]].add(1)
-    mp = jnp.cumsum(starts[:num_matches])
+    # lengths -> segment ids WITHOUT searchsorted (836 ms for the
+    # vectorized binary search over 8.3M needles vs 27 ms for the
+    # scatter+cumsum form — ops/segment_ops.segment_ids_from_offsets)
+    from glomap_tpu.ops.segment_ops import segment_ids_from_offsets
+    mp = segment_ids_from_offsets(offsets, num_matches)
     # per-PAIR keypoint bases first (P-sized), then one per-match gather
     # each — kp_offset[pair_i[mp]] is a CHAIN of two 8.3M-index gathers
     # and gather cost is per-index (~40-60 ms each at this scale)

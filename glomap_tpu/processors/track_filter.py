@@ -154,17 +154,33 @@ def filter_tracks_by_triangulation_angle(scene: Scene, tracks: Tracks,
     d = tracks.xyz[tracks.obs_track] - centers
     d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), EPS)
     n_tr = tracks.num_tracks
-    valid = tracks.obs_valid.astype(np.float64)[:, None]
-    sums = np.zeros((n_tr, 3))
-    np.add.at(sums, tracks.obs_track, d * valid)
-    counts = np.zeros(n_tr)
-    np.add.at(counts, tracks.obs_track, valid[:, 0])
+    ot = tracks.obs_track
+    w = tracks.obs_valid.astype(np.float64)
+    # bincount / sorted-segment reduceat instead of ufunc.at: np.add.at
+    # and np.minimum.at run an interpreted per-element loop (~0.1-0.3 s
+    # at 180k obs; this filter runs several times per pipeline)
+    sums = np.stack([np.bincount(ot, weights=d[:, k] * w,
+                                 minlength=n_tr)[:n_tr]
+                     for k in range(3)], axis=1)
+    counts = np.bincount(ot, weights=w, minlength=n_tr)[:n_tr]
     mean = sums / np.maximum(counts, 1)[:, None]
     mean = mean / np.maximum(np.linalg.norm(mean, axis=-1, keepdims=True), EPS)
-    dots = np.sum(d * mean[tracks.obs_track], axis=-1)
+    dots = np.sum(d * mean[ot], axis=-1)
     dots = np.where(tracks.obs_valid, dots, 1.0)
-    min_dot = np.ones(n_tr)
-    np.minimum.at(min_dot, tracks.obs_track, dots)
+    # obs are (track, image)-sorted (establishment invariant): per-track
+    # min is a reduceat over segment starts. Empty segments (clipped
+    # starts / equal neighbors) produce garbage rows that the counts > 1
+    # guard below discards.
+    is_sorted = len(ot) == 0 or bool((np.diff(ot) >= 0).all())
+    seg_start = np.searchsorted(ot, np.arange(n_tr)) if is_sorted else None
+    if not is_sorted:  # non-pipeline caller: exact slow path
+        min_dot = np.ones(n_tr)
+        np.minimum.at(min_dot, ot, dots)
+    elif len(ot):
+        min_dot = np.minimum.reduceat(
+            dots, np.minimum(seg_start, len(ot) - 1))
+    else:
+        min_dot = np.ones(n_tr)
     max_dev = np.arccos(np.clip(min_dot, -1, 1))
     thres = np.deg2rad(min_angle_deg)
     # certainly wide: max deviation from mean already >= threshold
@@ -172,11 +188,18 @@ def filter_tracks_by_triangulation_angle(scene: Scene, tracks: Tracks,
     # certainly narrow: 2 * max deviation < threshold
     narrow = 2.0 * max_dev < thres
     borderline = ~wide & ~narrow & (counts > 1)
-    # exact pairwise check on the (few) borderline tracks, host-side
+    # exact pairwise check on the (few) borderline tracks, host-side;
+    # segment slices via the sorted-track invariant (a full-array
+    # obs_track == t scan per borderline track was O(B * num_obs))
     cth = np.cos(thres)
+    seg_end = np.searchsorted(ot, np.arange(n_tr) + 1) if is_sorted \
+        else None
     for t in np.nonzero(borderline)[0]:
-        sel = (tracks.obs_track == t) & tracks.obs_valid
-        dirs = d[sel]
+        if is_sorted:
+            seg = slice(seg_start[t], seg_end[t])
+            dirs = d[seg][tracks.obs_valid[seg]]
+        else:
+            dirs = d[(ot == t) & tracks.obs_valid]
         G = dirs @ dirs.T
         wide[t] = bool((G < cth).any())
     # tracks with <2 valid observations have no pair and are removed, as in

@@ -342,3 +342,23 @@ def test_order_obs_for_locality_roundtrip():
     X_old = rng.standard_normal((T, 3))
     X_new = X_old[point_perm]
     np.testing.assert_array_equal(X_new[new_of_old], X_old)
+
+
+def test_segment_ids_from_offsets_matches_searchsorted():
+    # the cumsum form replaced jnp.searchsorted in the inlier sweep
+    # (836 -> 27 ms at 8.3M rows on v5e); exact equivalence including
+    # empty leading / middle / trailing segments
+    from glomap_tpu.ops.segment_ops import segment_ids_from_offsets
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        P = int(rng.integers(1, 12))
+        counts = rng.integers(0, 6, P)
+        # force some empty patterns
+        if P >= 3:
+            counts[0] = 0 if rng.random() < 0.5 else counts[0]
+            counts[-1] = 0 if rng.random() < 0.5 else counts[-1]
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        n = int(offsets[-1])
+        want = np.searchsorted(offsets[1:], np.arange(n), side="right")
+        got = np.asarray(segment_ids_from_offsets(jnp.asarray(offsets), n))
+        np.testing.assert_array_equal(got, want)
