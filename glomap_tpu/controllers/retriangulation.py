@@ -101,19 +101,23 @@ def complete_tracks_from_matches(scene: Scene, vg: ViewGraph,
     import jax
     from glomap_tpu.processors.track_filter import _img_from_cam_jit
 
+    import time as _time
+    _tpre = _time.monotonic()
     kp1, kp2 = _inlier_match_endpoints(scene, vg)
+    _tep = _time.monotonic()
     kp_image = np.repeat(np.arange(scene.num_images, dtype=np.int32),
                          np.diff(scene.kp_offset))
     q_img, t_img = scene.image_cam_from_world()
     reg_img = scene.frame_registered[scene.image_frame]
     cpu = jax.local_devices(backend="cpu")[0]
-    # both directions of the match list, built once for all rounds
-    # (the per-round rebuild of these 2x8M arrays was ~half the pass)
-    a = np.concatenate([kp1, kp2])
-    b = np.concatenate([kp2, kp1])
-    reg_b = reg_img[kp_image[b]]
-
-    import time as _time
+    # per-keypoint registered flag once (2M rows), then one 8M bool
+    # gather per endpoint — the old concatenated a/b direction arrays
+    # were 2x16M int32 allocations + 2x16M gathers (~0.7 s of the pass)
+    reg_kp = reg_img[kp_image]
+    reg1 = reg_kp[kp1]
+    reg2 = reg_kp[kp2]
+    logger.debug("match-complete pre: endpoints %.2fs, reg %.2fs",
+                 _tep - _tpre, _time.monotonic() - _tep)
     total_added = 0
     newly = None  # None = first round (every explained endpoint is new)
     for _round in range(max(rounds, 1)):
@@ -130,25 +134,27 @@ def complete_tracks_from_matches(scene: Scene, vg: ViewGraph,
         # endpoint explained in the PREVIOUS round. Restricting the scan
         # to those rows makes the later rounds (which mostly re-rejected
         # the same ~100k candidates) near-free.
-        # The scan gathers BOOL flags per match endpoint (1 byte/row) and
-        # each direction once (a/b are the two concatenated directions of
-        # the same 8M-match list): the direct kp_track[a]/kp_track[b]
-        # int64 gathers over 2x16M rows were ~0.7-1.0 s of host time;
-        # the per-track ids are looked up only for the surviving rows.
+        # The scan gathers BOOL flags per match endpoint (1 byte/row),
+        # both directions without materializing concatenated 16M-row
+        # arrays: the direct kp_track[a]/kp_track[b] int64 gathers over
+        # 2x16M rows were ~0.7-1.0 s of host time; the per-track ids are
+        # looked up only for the surviving rows.
         if newly is None:
             expl = kp_track >= 0
             e1 = expl[kp1]
             e2 = expl[kp2]
-            cand = np.concatenate([e1 & ~e2, e2 & ~e1]) & reg_b
+            cand_f = e1 & ~e2 & reg2  # kp1 explains kp2
+            cand_b = e2 & ~e1 & reg1  # kp2 explains kp1
         else:
-            nw = newly[kp1]
+            nw1 = newly[kp1]
             nw2 = newly[kp2]
             unex = kp_track < 0
-            cand = np.concatenate([nw & unex[kp2],
-                                   nw2 & unex[kp1]]) & reg_b
+            cand_f = nw1 & unex[kp2] & reg2
+            cand_b = nw2 & unex[kp1] & reg1
         _t1 = _time.monotonic()
-        ckp = b[cand]
-        ctr = kp_track[a[cand]]
+        ckp = np.concatenate([kp2[cand_f], kp1[cand_b]])
+        ctr = np.concatenate([kp_track[kp1[cand_f]],
+                              kp_track[kp2[cand_b]]])
         if len(ckp) == 0:
             break
         # dedupe (kp, track)

@@ -234,7 +234,19 @@ def prefetch_match_features(vg: ViewGraph) -> None:
     f2 = vg.match_f2.astype(fdt)
 
     def upload():
-        vg._match_fdev = (jnp.asarray(f1), jnp.asarray(f2))
+        # chunked transfer (~4 MB pieces): the tunnel serializes whole
+        # transfers, so a monolithic 16.6 MB put makes every concurrent
+        # small host pull (the adaptive-RANSAC best-count syncs) wait
+        # ~0.5-1.3 s for it to drain; small pieces let those pulls
+        # interleave. Device-side concatenate restores one array.
+        step = max(1 << 21, 1)  # 2M rows (4 MB at uint16)
+        out = []
+        for arr in (f1, f2):
+            pieces = [jnp.asarray(arr[i:i + step])
+                      for i in range(0, len(arr), step)]
+            out.append(pieces[0] if len(pieces) == 1
+                       else jnp.concatenate(pieces))
+        vg._match_fdev = tuple(out)
 
     th = threading.Thread(target=upload, daemon=True)
     th.start()
