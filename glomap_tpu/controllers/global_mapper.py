@@ -77,6 +77,17 @@ class GlobalMapper:
                 _write_stage_checkpoint(opt.checkpoint_dir, idx, scene,
                                         view_graph, tracks)
 
+        # kick off the 33 MB per-match feature-id upload for the stage-2
+        # inlier sweep now: on real scenes it hides fully under
+        # preprocessing + view-graph calibration (the background thread
+        # uploads in ~4 MB pieces so later small host pulls interleave —
+        # processors/pair_inliers.prefetch_match_features)
+        if start_stage <= 2 and not opt.skip_relative_pose_estimation \
+                and view_graph.num_matches > 0:
+            from glomap_tpu.processors.pair_inliers import (
+                prefetch_match_features)
+            prefetch_match_features(view_graph)
+
         # 0. Preprocessing
         if start_stage <= 0 and not opt.skip_preprocessing:
             stage("preprocessing")

@@ -412,7 +412,7 @@ def ba_resid_jac_pinhole(fq, ft, sq, st, cpar, X, uv,
 # segment-sum (num_blocks * width rows) combines straddling segments.
 
 
-def _sorted_seg_kernel(ids_ref, vals_ref, part_ref):
+def _sorted_seg_kernel(ids_ref, vals_ref, part_ref, *, exact=False):
     ids = ids_ref[0, :]  # (B,) int32; block spans < W distinct ids
     start = jnp.min(ids)
     W = part_ref.shape[1]
@@ -421,19 +421,25 @@ def _sorted_seg_kernel(ids_ref, vals_ref, part_ref):
     part_ref[0, :, :] = jax.lax.dot_general(
         oh.astype(vals_ref.dtype), vals_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=vals_ref.dtype)
+        preferred_element_type=vals_ref.dtype,
+        precision=(jax.lax.Precision.HIGHEST if exact else None))
 
 
 @partial(jax.jit, static_argnames=("num_segments", "width", "block",
-                                   "interpret"))
+                                   "interpret", "exact"))
 def sorted_segment_rowsum(vals, ids, num_segments: int, width: int,
-                          block: int = 2048, interpret: bool = False):
+                          block: int = 2048, interpret: bool = False,
+                          exact: bool = False):
     """vals (k, O), ids (O,) int32 sorted ascending -> (num_segments, k).
 
     `width` must be >= max over B-blocks of (ids[last] - ids[first] + 1)
     (callers compute it on host and bucket it; see
-    estimators/bundle_adjustment). Exact — no prefix-sum cancellation.
-    """
+    estimators/bundle_adjustment). No prefix-sum cancellation. exact=True
+    runs the one-hot contraction under bf16x3 (Precision.HIGHEST) so the
+    f32 VALS operand is not rounded to bf16 — use for once-per-call
+    assemblies whose sums feed geometry directly (the 0/1 one-hot side is
+    exact either way, but the default single pass rounds vals to ~3
+    digits)."""
     k, O = vals.shape
     dtype = vals.dtype
     pad = (-O) % block
@@ -444,7 +450,7 @@ def sorted_segment_rowsum(vals, ids, num_segments: int, width: int,
     nb = (O + pad) // block
 
     parts = pl.pallas_call(
-        _sorted_seg_kernel,
+        partial(_sorted_seg_kernel, exact=exact),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, block), lambda i: (0, i),

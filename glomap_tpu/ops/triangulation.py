@@ -22,17 +22,50 @@ from glomap_tpu.math import rotation as rotm
 from glomap_tpu.scene.arrays import Scene, Tracks
 
 
-@partial(jax.jit, static_argnames=("num_tracks",))
-def midpoint_triangulate(obs_track, d, c, w, num_tracks: int):
+@partial(jax.jit, static_argnames=("num_tracks", "sorted_width"))
+def midpoint_triangulate(obs_track, d, c, w, num_tracks: int,
+                         sorted_width: int = 0):
     """obs_track (O,), d unit world directions (O,3), c centers (O,3),
-    w per-obs weights (O,). Returns (X (T,3), ok (T,))."""
+    w per-obs weights (O,). Returns (X (T,3), ok (T,)).
+
+    With sorted_width > 0 (host-computed block_width_for_sorted of the
+    track-sorted obs axis) on TPU, the normal-equation assembly rides
+    ONE 9-row sorted-window Pallas rowsum instead of two (O,3,3)/(O,3)
+    scatter-adds (TPU scatter ~1 ms per 100k rows — CLAUDE.md)."""
     dtype = d.dtype
     eye = jnp.eye(3, dtype=dtype)
-    P = eye - d[:, :, None] * d[:, None, :]
-    Pw = w[:, None, None] * P
-    A = jax.ops.segment_sum(Pw, obs_track, num_segments=num_tracks)
-    b = jax.ops.segment_sum(jnp.einsum("oij,oj->oi", Pw, c), obs_track,
-                            num_segments=num_tracks)
+    from glomap_tpu.ops.pallas_kernels import (_on_tpu,
+                                               sorted_segment_rowsum)
+    if sorted_width > 0 and _on_tpu():
+        dT = d.T  # (3, O)
+        cT = c.T
+        # weighted P = w (I - d d^T): 6 unique symmetric comps + P c
+        Pxx = w * (1.0 - dT[0] * dT[0])
+        Pxy = -w * dT[0] * dT[1]
+        Pxz = -w * dT[0] * dT[2]
+        Pyy = w * (1.0 - dT[1] * dT[1])
+        Pyz = -w * dT[1] * dT[2]
+        Pzz = w * (1.0 - dT[2] * dT[2])
+        b0 = Pxx * cT[0] + Pxy * cT[1] + Pxz * cT[2]
+        b1 = Pxy * cT[0] + Pyy * cT[1] + Pyz * cT[2]
+        b2 = Pxz * cT[0] + Pyz * cT[1] + Pzz * cT[2]
+        rows = jnp.stack([Pxx, Pxy, Pxz, Pyy, Pyz, Pzz, b0, b1, b2])
+        # exact (bf16x3): these sums ARE the normal equations — default
+        # single-pass rounding moved triangulated points ~2e-3 on the
+        # extent-10 bench scene (measured composed-vs-sorted A/B)
+        s = sorted_segment_rowsum(rows, obs_track, num_tracks,
+                                  sorted_width, exact=True)  # (T, 9)
+        A = jnp.stack([
+            jnp.stack([s[:, 0], s[:, 1], s[:, 2]], axis=-1),
+            jnp.stack([s[:, 1], s[:, 3], s[:, 4]], axis=-1),
+            jnp.stack([s[:, 2], s[:, 4], s[:, 5]], axis=-1)], axis=-2)
+        b = s[:, 6:9]
+    else:
+        P = eye - d[:, :, None] * d[:, None, :]
+        Pw = w[:, None, None] * P
+        A = jax.ops.segment_sum(Pw, obs_track, num_segments=num_tracks)
+        b = jax.ops.segment_sum(jnp.einsum("oij,oj->oi", Pw, c),
+                                obs_track, num_segments=num_tracks)
     # regularize rank-deficient systems (collinear rays)
     tr = jnp.trace(A, axis1=-2, axis2=-1)
     A_reg = A + (1e-10 * jnp.maximum(tr, 1e-12))[:, None, None] * eye
@@ -52,9 +85,11 @@ def _hash_u32(x):
     return x ^ (x >> 16)
 
 
-@partial(jax.jit, static_argnames=("num_tracks", "num_hyps"))
+@partial(jax.jit, static_argnames=("num_tracks", "num_hyps",
+                                   "sorted_width"))
 def ransac_triangulate(obs_track, d, c, t_start, t_len, num_tracks: int,
-                       num_hyps: int, cos_err_thresh, min_pair_angle_rad):
+                       num_hyps: int, cos_err_thresh, min_pair_angle_rad,
+                       sorted_width: int = 0):
     """Robust multi-view triangulation: per-track two-view RANSAC.
 
     TPU-native counterpart of colmap::EstimateTriangulation (LO-RANSAC over
@@ -89,7 +124,36 @@ def ransac_triangulate(obs_track, d, c, t_start, t_len, num_tracks: int,
     h2 = (_hash_u32(tids * jnp.uint32(7919) + jnp.uint32(7))
           ).astype(jnp.int32) & 0x7FFFFFFF
 
+    from glomap_tpu.ops.pallas_kernels import (_on_tpu,
+                                               sorted_segment_gather,
+                                               sorted_segment_rowsum)
+    use_sorted = sorted_width > 0 and _on_tpu()
+    dT = d.T  # (3, O) lane-major rows, built once for every hypothesis
+    cT = c.T
+
     def score(X):
+        # per-hypothesis sweep over ALL observations: with the sorted
+        # obs axis this is one Pallas window gather + one 2-row window
+        # rowsum per round instead of an XLA gather + two scatter-adds
+        # (TPU scatter ~1 ms / 100k rows; this runs num_hyps times in
+        # the scan below)
+        if use_sorted:
+            Xr = sorted_segment_gather(X, obs_track, sorted_width)
+            v0 = Xr[0] - cT[0]
+            v1 = Xr[1] - cT[1]
+            v2 = Xr[2] - cT[2]
+            vn = jnp.sqrt(v0 * v0 + v1 * v1 + v2 * v2)
+            cos = (v0 * dT[0] + v1 * dT[1] + v2 * dT[2]) / \
+                jnp.maximum(vn, 1e-12)
+            inl = (cos > cos_err_thresh) & (vn > 1e-12)
+            margin = jnp.where(inl, cos - cos_err_thresh,
+                               0.0).astype(dtype)
+            sums = sorted_segment_rowsum(
+                jnp.stack([inl.astype(dtype), margin]), obs_track,
+                num_tracks, sorted_width)  # (T, 2)
+            sup = sums[:, 0].astype(jnp.int32)
+            msum = sums[:, 1]
+            return sup, inl, margin, msum
         v = X[obs_track] - c
         vn = jnp.linalg.norm(v, axis=-1)
         cos = jnp.sum(v * d, axis=-1) / jnp.maximum(vn, 1e-12)
@@ -148,7 +212,8 @@ def ransac_triangulate(obs_track, d, c, t_start, t_len, num_tracks: int,
     # local refinement: weighted midpoint over the winning consensus set
     _, inl, _, _ = score(best_X)
     X_ref, ok_ref = midpoint_triangulate(obs_track, d, c,
-                                         inl.astype(dtype), num_tracks)
+                                         inl.astype(dtype), num_tracks,
+                                         sorted_width=sorted_width)
     refine = ok_ref & (best_sup >= 2)
     X_out = jnp.where(refine[:, None], X_ref, best_X)
     sup2, inl2, _, _ = score(X_out)
@@ -201,12 +266,14 @@ def ransac_triangulate_tracks(scene: Scene, tracks: Tracks, dtype=None,
     ot_p = pad_axis0(ot, n_obs_pad, fill=n_tr_pad - 1)
     t_len = pad_axis0(t_len, n_tr_pad)
     t_start = pad_axis0(t_start, n_tr_pad, fill=n_obs)
+    from glomap_tpu.ops.segment_ops import axis_window
     X, sup, inl = ransac_triangulate(
         jnp.asarray(ot_p), jnp.asarray(d_np, dtype=dtype),
         jnp.asarray(centers, dtype=dtype),
         jnp.asarray(t_start), jnp.asarray(t_len), n_tr_pad,
         num_hyps, float(np.cos(np.deg2rad(max_angle_error_deg))),
-        float(np.deg2rad(min_tri_angle_deg)))
+        float(np.deg2rad(min_tri_angle_deg)),
+        sorted_width=axis_window(ot_p))
     X = np.asarray(X, dtype=np.float64)[:n_tr]
     sup = np.asarray(sup)[:n_tr]
     ok = sup >= 2
@@ -239,12 +306,15 @@ def triangulate_tracks(scene: Scene, tracks: Tracks,
     n_tr_pad = bucket_size(max(n_tr, 1), 64)
     n_obs_pad = bucket_size(max(n_obs, 1))
     w = pad_axis0(np.ones(n_obs), n_obs_pad)
+    from glomap_tpu.ops.segment_ops import axis_window
+    ot_p = pad_axis0(tracks.obs_track[ob].astype(np.int32), n_obs_pad,
+                     fill=n_tr_pad - 1)
     X, ok = midpoint_triangulate(
-        jnp.asarray(pad_axis0(tracks.obs_track[ob].astype(np.int32),
-                              n_obs_pad, fill=n_tr_pad - 1)),
+        jnp.asarray(ot_p),
         jnp.asarray(pad_axis0(np.asarray(d_np), n_obs_pad), dtype=dtype),
         jnp.asarray(pad_axis0(np.asarray(centers), n_obs_pad), dtype=dtype),
-        jnp.asarray(w, dtype=dtype), n_tr_pad)
+        jnp.asarray(w, dtype=dtype), n_tr_pad,
+        sorted_width=axis_window(ot_p))
     X = np.asarray(X, dtype=np.float64)[:n_tr]
     ok = np.array(ok, copy=True)[:n_tr]
     tracks.xyz[:] = np.where(ok[:, None], X, tracks.xyz)
