@@ -82,8 +82,15 @@ class GlobalMapper:
         # preprocessing + view-graph calibration (the background thread
         # uploads in ~4 MB pieces so later small host pulls interleave —
         # processors/pair_inliers.prefetch_match_features)
+        # Gate on stages 0/1 actually running: when both are skipped the
+        # next work is relpose PREP, whose small blocking uploads must
+        # not queue behind in-flight prefetch chunks — relpose.py kicks
+        # the (idempotent) prefetch itself right after prep.
+        stages_before_relpose = (
+            (start_stage <= 0 and not opt.skip_preprocessing)
+            or (start_stage <= 1 and not opt.skip_view_graph_calibration))
         if start_stage <= 2 and not opt.skip_relative_pose_estimation \
-                and view_graph.num_matches > 0:
+                and view_graph.num_matches > 0 and stages_before_relpose:
             from glomap_tpu.processors.pair_inliers import (
                 prefetch_match_features)
             prefetch_match_features(view_graph)

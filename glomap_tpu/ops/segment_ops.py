@@ -31,10 +31,12 @@ def segment_ids_from_offsets(offsets, num_rows: int):
     side="right") but via scatter-ones-at-segment-ends + cumsum: the
     vectorized binary search measured 836 ms for 8.3M rows on the v5e
     (70% of the whole inlier sweep at ~0.1% HBM util); this form is
-    27 ms. Empty segments accumulate +2 at one index and are skipped;
-    the size-(num_rows+1) scratch keeps ends == num_rows (empty trailing
-    segments) in scatter range."""
-    starts = jnp.zeros(num_rows + 1, jnp.int32).at[offsets[1:-1]].add(1)
+    27 ms. Empty segments accumulate +2 at one index and are skipped.
+    Rows >= offsets[-1] (bucket padding) get id >= P, exactly like
+    searchsorted — out of range for every segment reduction, so padded
+    callers don't corrupt the last real segment; the size-(num_rows+1)
+    scratch keeps ends == num_rows in scatter range."""
+    starts = jnp.zeros(num_rows + 1, jnp.int32).at[offsets[1:]].add(1)
     return jnp.cumsum(starts[:num_rows])
 
 

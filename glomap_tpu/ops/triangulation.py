@@ -22,21 +22,26 @@ from glomap_tpu.math import rotation as rotm
 from glomap_tpu.scene.arrays import Scene, Tracks
 
 
-@partial(jax.jit, static_argnames=("num_tracks", "sorted_width"))
+@partial(jax.jit, static_argnames=("num_tracks", "sorted_width",
+                                   "force_sorted"))
 def midpoint_triangulate(obs_track, d, c, w, num_tracks: int,
-                         sorted_width: int = 0):
+                         sorted_width: int = 0,
+                         force_sorted: bool = False):
     """obs_track (O,), d unit world directions (O,3), c centers (O,3),
     w per-obs weights (O,). Returns (X (T,3), ok (T,)).
 
     With sorted_width > 0 (host-computed block_width_for_sorted of the
     track-sorted obs axis) on TPU, the normal-equation assembly rides
     ONE 9-row sorted-window Pallas rowsum instead of two (O,3,3)/(O,3)
-    scatter-adds (TPU scatter ~1 ms per 100k rows — CLAUDE.md)."""
+    scatter-adds (TPU scatter ~1 ms per 100k rows — CLAUDE.md).
+    force_sorted runs that path on CPU in Pallas interpret mode so tests
+    can assert its exact equivalence with the segment_sum fallback."""
     dtype = d.dtype
     eye = jnp.eye(3, dtype=dtype)
     from glomap_tpu.ops.pallas_kernels import (_on_tpu,
                                                sorted_segment_rowsum)
-    if sorted_width > 0 and _on_tpu():
+    interp = not _on_tpu()
+    if sorted_width > 0 and (_on_tpu() or force_sorted):
         dT = d.T  # (3, O)
         cT = c.T
         # weighted P = w (I - d d^T): 6 unique symmetric comps + P c
@@ -54,7 +59,8 @@ def midpoint_triangulate(obs_track, d, c, w, num_tracks: int,
         # single-pass rounding moved triangulated points ~2e-3 on the
         # extent-10 bench scene (measured composed-vs-sorted A/B)
         s = sorted_segment_rowsum(rows, obs_track, num_tracks,
-                                  sorted_width, exact=True)  # (T, 9)
+                                  sorted_width, exact=True,
+                                  interpret=interp)  # (T, 9)
         A = jnp.stack([
             jnp.stack([s[:, 0], s[:, 1], s[:, 2]], axis=-1),
             jnp.stack([s[:, 1], s[:, 3], s[:, 4]], axis=-1),
@@ -86,10 +92,10 @@ def _hash_u32(x):
 
 
 @partial(jax.jit, static_argnames=("num_tracks", "num_hyps",
-                                   "sorted_width"))
+                                   "sorted_width", "force_sorted"))
 def ransac_triangulate(obs_track, d, c, t_start, t_len, num_tracks: int,
                        num_hyps: int, cos_err_thresh, min_pair_angle_rad,
-                       sorted_width: int = 0):
+                       sorted_width: int = 0, force_sorted: bool = False):
     """Robust multi-view triangulation: per-track two-view RANSAC.
 
     TPU-native counterpart of colmap::EstimateTriangulation (LO-RANSAC over
@@ -127,7 +133,8 @@ def ransac_triangulate(obs_track, d, c, t_start, t_len, num_tracks: int,
     from glomap_tpu.ops.pallas_kernels import (_on_tpu,
                                                sorted_segment_gather,
                                                sorted_segment_rowsum)
-    use_sorted = sorted_width > 0 and _on_tpu()
+    use_sorted = sorted_width > 0 and (_on_tpu() or force_sorted)
+    interp = not _on_tpu()
     dT = d.T  # (3, O) lane-major rows, built once for every hypothesis
     cT = c.T
 
@@ -138,7 +145,8 @@ def ransac_triangulate(obs_track, d, c, t_start, t_len, num_tracks: int,
         # (TPU scatter ~1 ms / 100k rows; this runs num_hyps times in
         # the scan below)
         if use_sorted:
-            Xr = sorted_segment_gather(X, obs_track, sorted_width)
+            Xr = sorted_segment_gather(X, obs_track, sorted_width,
+                                       interpret=interp)
             v0 = Xr[0] - cT[0]
             v1 = Xr[1] - cT[1]
             v2 = Xr[2] - cT[2]
@@ -150,7 +158,7 @@ def ransac_triangulate(obs_track, d, c, t_start, t_len, num_tracks: int,
                                0.0).astype(dtype)
             sums = sorted_segment_rowsum(
                 jnp.stack([inl.astype(dtype), margin]), obs_track,
-                num_tracks, sorted_width)  # (T, 2)
+                num_tracks, sorted_width, interpret=interp)  # (T, 2)
             sup = sums[:, 0].astype(jnp.int32)
             msum = sums[:, 1]
             return sup, inl, margin, msum
@@ -213,7 +221,8 @@ def ransac_triangulate(obs_track, d, c, t_start, t_len, num_tracks: int,
     _, inl, _, _ = score(best_X)
     X_ref, ok_ref = midpoint_triangulate(obs_track, d, c,
                                          inl.astype(dtype), num_tracks,
-                                         sorted_width=sorted_width)
+                                         sorted_width=sorted_width,
+                                         force_sorted=force_sorted)
     refine = ok_ref & (best_sup >= 2)
     X_out = jnp.where(refine[:, None], X_ref, best_X)
     sup2, inl2, _, _ = score(X_out)

@@ -177,8 +177,14 @@ def filter_tracks_by_triangulation_angle(scene: Scene, tracks: Tracks,
         min_dot = np.ones(n_tr)
         np.minimum.at(min_dot, ot, dots)
     elif len(ot):
+        # sentinel keeps the LAST real segment intact when higher-id
+        # tracks have zero obs rows (their seg_start == len(ot) would
+        # otherwise clip into the last segment and truncate it, dropping
+        # its final observation from the min — misclassifying the track
+        # 'certainly narrow'); empty trailing segments reduce to the
+        # sentinel and are discarded by the counts > 1 guard
         min_dot = np.minimum.reduceat(
-            dots, np.minimum(seg_start, len(ot) - 1))
+            np.append(dots, 1.0), np.minimum(seg_start, len(ot)))
     else:
         min_dot = np.ones(n_tr)
     max_dev = np.arccos(np.clip(min_dot, -1, 1))

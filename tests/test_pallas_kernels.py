@@ -362,3 +362,11 @@ def test_segment_ids_from_offsets_matches_searchsorted():
         want = np.searchsorted(offsets[1:], np.arange(n), side="right")
         got = np.asarray(segment_ids_from_offsets(jnp.asarray(offsets), n))
         np.testing.assert_array_equal(got, want)
+        # bucket-padded row count: padding rows must map OUT of range
+        # (id >= P, dropped by segment reductions) exactly like
+        # searchsorted — never folded into the last real segment
+        n_pad = n + int(rng.integers(1, 5))
+        want = np.searchsorted(offsets[1:], np.arange(n_pad), side="right")
+        got = np.asarray(
+            segment_ids_from_offsets(jnp.asarray(offsets), n_pad))
+        np.testing.assert_array_equal(np.minimum(got, P), np.minimum(want, P))

@@ -108,3 +108,78 @@ def test_ransac_noisy_observations_survive():
     assert near[ok].mean() > 0.95
     # noise within the angular threshold must not be masked out
     assert tracks.obs_valid.mean() > 0.95
+
+
+def test_sorted_paths_match_fallback_on_cpu():
+    """The TPU sorted-window paths in midpoint/ransac triangulation are
+    gated on _on_tpu(); run them here in Pallas interpret mode
+    (force_sorted) and assert equivalence with the segment_sum fallback
+    so the two branches cannot silently diverge (advisor round 4)."""
+    import jax.numpy as jnp
+    from glomap_tpu.ops.pallas_kernels import block_width_for_sorted
+    from glomap_tpu.ops.triangulation import (midpoint_triangulate,
+                                              ransac_triangulate)
+    rng = np.random.default_rng(7)
+    T = 37
+    lens = rng.integers(0, 9, T)
+    lens[::5] = 0  # empty segments interleaved
+    ot = np.repeat(np.arange(T, dtype=np.int32), lens)
+    O = len(ot)
+    d = rng.standard_normal((O, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    c = rng.standard_normal((O, 3)).astype(np.float32)
+    w = rng.random(O).astype(np.float32)
+    width = block_width_for_sorted(ot)
+    assert width > 0
+    X0, ok0 = midpoint_triangulate(jnp.asarray(ot), jnp.asarray(d),
+                                   jnp.asarray(c), jnp.asarray(w), T,
+                                   sorted_width=0)
+    X1, ok1 = midpoint_triangulate(jnp.asarray(ot), jnp.asarray(d),
+                                   jnp.asarray(c), jnp.asarray(w), T,
+                                   sorted_width=width, force_sorted=True)
+    np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+    np.testing.assert_allclose(np.asarray(X0)[np.asarray(ok0)],
+                               np.asarray(X1)[np.asarray(ok0)],
+                               rtol=1e-4, atol=1e-5)
+    t_len = np.bincount(ot, minlength=T).astype(np.int32)
+    t_start = np.concatenate([[0], np.cumsum(t_len)[:-1]]).astype(np.int32)
+    args = (jnp.asarray(ot), jnp.asarray(d), jnp.asarray(c),
+            jnp.asarray(t_start), jnp.asarray(t_len), T, 8,
+            float(np.cos(np.deg2rad(2.0))), float(np.deg2rad(1.0)))
+    Xr0, sup0, inl0 = ransac_triangulate(*args, sorted_width=0)
+    Xr1, sup1, inl1 = ransac_triangulate(*args, sorted_width=width,
+                                         force_sorted=True)
+    np.testing.assert_array_equal(np.asarray(sup0), np.asarray(sup1))
+    np.testing.assert_array_equal(np.asarray(inl0), np.asarray(inl1))
+    np.testing.assert_allclose(np.asarray(Xr0), np.asarray(Xr1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tri_angle_filter_trailing_empty_tracks_regression():
+    """Advisor round-4 medium: trailing tracks with zero obs rows made
+    the reduceat segment of the LAST populated track truncate its final
+    observation (clipped start indices), underestimating max deviation.
+    The sorted fast path must match the exact unsorted path exactly."""
+    from glomap_tpu.processors.track_filter import (
+        filter_tracks_by_triangulation_angle)
+    scene, gt, tracks = _gt_scene_tracks()
+    triangulate_tracks(scene, tracks)
+    # append trailing empty tracks (ids present, zero obs rows — what
+    # establish_full_tracks leaves after deleting obs of failed tracks)
+    n_extra = 5
+    tracks.xyz = np.concatenate([tracks.xyz, np.zeros((n_extra, 3))])
+    tracks.valid = np.concatenate([tracks.valid, np.ones(n_extra, bool)])
+    t_sorted = tracks.copy()
+    t_exact = tracks.copy()
+    # exact path: break the sorted invariant with a permutation
+    perm = np.random.default_rng(0).permutation(tracks.num_obs)
+    t_exact.obs_track = t_exact.obs_track[perm]
+    t_exact.obs_image = t_exact.obs_image[perm]
+    t_exact.obs_feature = t_exact.obs_feature[perm]
+    t_exact.obs_valid = t_exact.obs_valid[perm]
+    n_s = filter_tracks_by_triangulation_angle(scene, t_sorted, 1.0)
+    n_e = filter_tracks_by_triangulation_angle(scene, t_exact, 1.0)
+    assert n_s == n_e
+    np.testing.assert_array_equal(t_sorted.valid, t_exact.valid)
+    # empty trailing tracks have no pair -> removed, like the reference
+    assert not t_sorted.valid[-n_extra:].any()
