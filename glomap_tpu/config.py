@@ -130,6 +130,13 @@ class BundleAdjusterOptions(OptimizationBase):
     # default is 1e-1 — we default tighter). Final cost on the bench
     # problem is bit-identical to a 1e-5 run (BENCH_NOTES).
     cg_relative_tolerance: float = 1e-2
+    # cap on inner-CG iterations per LM step (Ceres
+    # max_linear_solver_iterations, default 500; ours defaults lower
+    # because the SCHUR_JACOBI-preconditioned system converges to the
+    # 1e-2 forcing tolerance in <<30 iterations at the measured scales —
+    # BA logs total/average CG iterations per solve so a capped solve is
+    # visible). Raise for very large / ill-conditioned camera systems.
+    cg_max_iterations: int = 30
 
 
 @dataclass

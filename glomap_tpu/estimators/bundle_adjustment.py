@@ -401,7 +401,8 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         return psum_scalar(jnp.sum(o_w * _huber_cost(r2, huber_delta)))
 
     def lm_step(state):
-        fq, ft, cp, X, sq, st, lam, cost, it, done, _, n_rej = state
+        fq, ft, cp, X, sq, st, lam, cost, it, done, _, n_rej, \
+            cg_total = state
         if fast_path and use_tables:
             # Pallas fused closed-form kernel over ALL camera kinds
             # (perspective / fisheye / FOV) — emits lane-major (2, O) /
@@ -718,8 +719,9 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         # linear-solve error, and the early exit cuts the latency-bound
         # small-op chain that dominates the step at moderate scales
         # (BENCH_NOTES speed-of-light note).
-        sol = cg_generic(schur_mv, pack(b_f, b_c, b_s), max_iters=cg_iters,
-                         tol=cg_tol, precond=precond)
+        sol, cg_it, _ = cg_generic(schur_mv, pack(b_f, b_c, b_s),
+                                   max_iters=cg_iters, tol=cg_tol,
+                                   precond=precond, return_info=True)
         dvf, dvc, dvs = unpack(sol)
         dvf = dvf * frame_mask
         if optimize_rig:
@@ -764,7 +766,7 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         done = (accept & (rel < function_tol)) | (n_rej >= max_rejections)
         cost = jnp.where(accept, new_cost, cost)
         return (fq, ft, cp, X, sq, st, lam, cost, it + 1, done, accept,
-                n_rej)
+                n_rej, cg_total + cg_it)
 
     def cond(state):
         return (state[8] < max_iters) & ~state[9]
@@ -778,10 +780,10 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
     state = (frame_quat, frame_trans, cam_params, points,
              sensor_quat, sensor_trans,
              jnp.asarray(1e-4, dtype), cost0, 0, jnp.asarray(False),
-             jnp.asarray(True), jnp.asarray(0))
-    fq, ft, cp, X, sq, st, _, cost, it, _, _, _ = jax.lax.while_loop(
-        cond, lm_step, state)
-    return fq, ft, cp, X, cost, it, sq, st
+             jnp.asarray(True), jnp.asarray(0), jnp.asarray(0))
+    fq, ft, cp, X, sq, st, _, cost, it, _, _, _, cg_total = \
+        jax.lax.while_loop(cond, lm_step, state)
+    return fq, ft, cp, X, cost, it, sq, st, cg_total
 
 
 def ba_fast_path_ok(scene: Scene) -> bool:
@@ -895,7 +897,7 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         sensor_mask[~scene.sensor_is_ref, :] = 1.0
 
     _t1 = _time.monotonic()
-    fq, ft, cp, X, cost, it, sq, st = _solve_ba(
+    fq, ft, cp, X, cost, it, sq, st, cg_total = _solve_ba(
         jnp.asarray(scene.frame_quat, dtype=dtype),
         jnp.asarray(scene.frame_trans, dtype=dtype),
         jnp.asarray(scene.cam_params, dtype=dtype),
@@ -911,7 +913,8 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         jnp.asarray(frame_mask, dtype=dtype),
         scene.num_frames, scene.num_cameras, num_points_pad,
         float(opts.thres_loss_function), float(opts.function_tolerance),
-        int(opts.max_num_iterations), 30, bool(opts.optimize_points),
+        int(opts.max_num_iterations), int(opts.cg_max_iterations),
+        bool(opts.optimize_points),
         fast_path=fast_path,
         o_sensor=jnp.asarray(o_sensor),
         sensor_quat=jnp.asarray(scene.sensor_quat, dtype=dtype),
@@ -930,8 +933,10 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
     import logging as _logging
     _logging.getLogger(__name__).info(
         "BA solve: %d LM iters, cost %.3e, host prep %.2fs, "
-        "solve+pull %.2fs (%d obs)", int(it), float(cost), _t1 - _t0,
-        _time.monotonic() - _t1, n_obs)
+        "solve+pull %.2fs (%d obs, %d CG iters total, %.1f/LM, cap %d)",
+        int(it), float(cost), _t1 - _t0, _time.monotonic() - _t1, n_obs,
+        int(cg_total), float(cg_total) / max(int(it), 1),
+        int(opts.cg_max_iterations))
     if not (np.all(np.isfinite(fq)) and np.all(np.isfinite(ft)) and
             np.all(np.isfinite(cp)) and np.all(np.isfinite(X))):
         return False

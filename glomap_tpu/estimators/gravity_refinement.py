@@ -10,9 +10,13 @@ the relative rotation), average them (principal direction), and refine on
 the sphere with a robust (arctan) IRLS loop; accept if the refined
 gravity agrees with a majority of neighbors.
 
-Everything is batched: the consistency pass is one vectorized sweep over
-pairs; the per-frame refinements run as one vmapped IRLS over all
-error-prone frames simultaneously.
+Everything is batched with NO per-frame Python loop: the consistency
+pass is one vectorized sweep over pairs; neighbor collection is a single
+flatten of both pair directions keyed by compact prone-frame id; the
+principal-direction init is one batched 3x3 eigh; and the arctan-IRLS
+runs in lockstep over all error-prone frames via bincount segment
+reductions (the reference scans neighbors once too,
+gravity_refinement.cc:129).
 """
 
 from __future__ import annotations
@@ -67,13 +71,10 @@ def refine_gravity(scene: Scene, vg: ViewGraph,
 
     f_i, f_j, ang = _aligned_rel_angles(scene, vg, use)
     F = scene.num_frames
-    total = np.zeros(F, dtype=np.int64)
-    bad = np.zeros(F, dtype=np.int64)
-    np.add.at(total, f_i, 1)
-    np.add.at(total, f_j, 1)
+    total = np.bincount(f_i, minlength=F) + np.bincount(f_j, minlength=F)
     is_bad = ang > opts.max_gravity_error
-    np.add.at(bad, f_i[is_bad], 1)
-    np.add.at(bad, f_j[is_bad], 1)
+    bad = np.bincount(f_i[is_bad], minlength=F) + \
+        np.bincount(f_j[is_bad], minlength=F)
     error_prone = (total >= opts.min_num_neighbors) & \
         (bad / np.maximum(total, 1) >= opts.max_outlier_ratio)
     n_prone = int(error_prone.sum())
@@ -97,30 +98,60 @@ def refine_gravity(scene: Scene, vg: ViewGraph,
     g_i_impl = np.einsum("pji,pj->pi", R_f, A_j[:, :, 1])
     g_j_impl = np.einsum("pij,pj->pi", R_f, A_i[:, :, 1])
 
-    n_rect = 0
+    # One batched pass over ALL error-prone frames (the reference scans
+    # neighbors once, gravity_refinement.cc:129; the per-frame f_i == f
+    # rescans here were O(n_prone * E) — quadratic on a city graph with
+    # thousands of flagged frames). Both directions of every pair flatten
+    # into one observation list keyed by compact prone-frame id; every
+    # per-frame reduction is a bincount, the principal-direction init is
+    # one batched 3x3 eigh, and the arctan-IRLS runs lockstep for all
+    # frames simultaneously.
     cos_thr = np.cos(np.deg2rad(2 * opts.max_gravity_error))
     loss_c = 1.0 - np.cos(np.deg2rad(opts.max_gravity_error))
-    for f in np.nonzero(error_prone)[0]:
-        obs = np.concatenate([g_i_impl[f_i == f], g_j_impl[f_j == f]])
-        if len(obs) < opts.min_num_neighbors:
-            continue
-        g = gravm.average_gravity(obs)
-        # robust sphere refinement: IRLS with arctan loss on |g - obs|^2
-        for _ in range(20):
-            r2 = np.sum((g[None] - obs) ** 2, axis=-1)
-            w = 1.0 / (1.0 + (r2 / loss_c) ** 2)  # arctan-loss IRLS weight
-            g_new = (w[:, None] * obs).sum(0)
-            nrm = np.linalg.norm(g_new)
-            if nrm < 1e-12:
-                break
-            g_new /= nrm
-            if np.dot(g_new, g) > 1 - 1e-14:
-                g = g_new
-                break
-            g = g_new
-        n_out = int((obs @ g < cos_thr).sum())
-        if n_out / len(obs) < opts.max_outlier_ratio:
-            scene.frame_gravity[f] = g
-            n_rect += 1
+    prone = np.nonzero(error_prone)[0]
+    K = len(prone)
+    cid = np.full(F, -1, dtype=np.int64)
+    cid[prone] = np.arange(K)
+    obs_frame = np.concatenate([f_i, f_j])
+    obs_g = np.concatenate([g_i_impl, g_j_impl])
+    sel = error_prone[obs_frame]
+    oc = cid[obs_frame[sel]]
+    obs_g = obs_g[sel]
+    cnt = np.bincount(oc, minlength=K)
+    eligible = cnt >= opts.min_num_neighbors
+    # init: per-frame principal direction (batched average_gravity,
+    # gravity.cc:37-95) with sign majority vote
+    M = np.empty((K, 3, 3))
+    for a in range(3):
+        for b in range(a, 3):
+            M[:, a, b] = M[:, b, a] = np.bincount(
+                oc, weights=obs_g[:, a] * obs_g[:, b], minlength=K)
+    _, vecs = np.linalg.eigh(M)
+    g = vecs[..., -1]  # (K, 3)
+    neg = np.bincount(oc, weights=(np.einsum("oi,oi->o", obs_g, g[oc])
+                                   < 0).astype(np.float64), minlength=K)
+    g = np.where((neg > cnt / 2)[:, None], -g, g)
+    # robust sphere refinement: IRLS with arctan loss on |g - obs|^2,
+    # all frames in lockstep (a frame at its fixed point recomputes the
+    # same iterate — equivalent to the per-frame early break)
+    for _ in range(20):
+        r2 = np.sum((g[oc] - obs_g) ** 2, axis=-1)
+        w = 1.0 / (1.0 + (r2 / loss_c) ** 2)  # arctan-loss IRLS weight
+        g_new = np.stack([np.bincount(oc, weights=w * obs_g[:, c],
+                                      minlength=K) for c in range(3)],
+                         axis=-1)
+        nrm = np.linalg.norm(g_new, axis=-1, keepdims=True)
+        g_new = np.where(nrm >= 1e-12, g_new / np.maximum(nrm, 1e-12), g)
+        done = np.einsum("ki,ki->k", g_new, g) > 1 - 1e-14
+        g = g_new
+        if done.all():
+            break
+    n_out = np.bincount(oc, weights=(np.einsum("oi,oi->o", obs_g, g[oc])
+                                     < cos_thr).astype(np.float64),
+                        minlength=K)
+    accept = eligible & (n_out / np.maximum(cnt, 1)
+                         < opts.max_outlier_ratio)
+    scene.frame_gravity[prone[accept]] = g[accept]
+    n_rect = int(accept.sum())
     logger.info("Number of rectified frames: %d / %d", n_rect, n_prone)
     return n_rect

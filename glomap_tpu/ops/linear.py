@@ -146,12 +146,17 @@ def solve_laplacian_cg(fi, fj, w, rhs, num_nodes: int, fixed,
 
 
 def cg_generic(matvec, b, minv_diag=None, max_iters: int = 100,
-               tol: float = 1e-8, precond=None):
+               tol: float = 1e-8, precond=None,
+               return_info: bool = False):
     """Generic preconditioned CG for SPD operators.
 
     b and all iterates share one pytree-free array shape. Used by the BA
     Schur-reduced camera system (matrix-free) and other estimators.
     `precond` (callable) takes precedence over the diagonal `minv_diag`.
+    With return_info, returns (x, iterations, relative_residual) so
+    solvers can surface whether the iteration cap (not the forcing
+    tolerance) terminated the solve — the Ceres
+    max_linear_solver_iterations observability analog.
     """
     if precond is None:
         if minv_diag is None:
@@ -182,5 +187,7 @@ def cg_generic(matvec, b, minv_diag=None, max_iters: int = 100,
         p = z + beta * p
         return (x, r, p, rz_new, it + 1)
 
-    x, _, _, _, it = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
+    x, r, _, _, it = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
+    if return_info:
+        return x, it, jnp.linalg.norm(r) / bnorm
     return x
