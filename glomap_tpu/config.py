@@ -112,6 +112,9 @@ class GlobalPositionerOptions(OptimizationBase):
     # forcing tolerance of the inner Jacobi-PCG on the frame system
     # (same role as BundleAdjusterOptions.cg_relative_tolerance)
     cg_relative_tolerance: float = 1e-2
+    # inner-PCG iteration cap per LM step (see
+    # BundleAdjusterOptions.cg_max_iterations)
+    cg_max_iterations: int = 100
 
 
 @dataclass

@@ -31,6 +31,7 @@ fixed (reference RigBATAPairwiseDirectionError with rig scale pinned at 1).
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 
 import numpy as np
@@ -42,6 +43,8 @@ from glomap_tpu.math import rotation as rotm
 from glomap_tpu.ops.linear import cg_generic
 from glomap_tpu.scene.arrays import Scene, Tracks
 from glomap_tpu.scene.view_graph import ViewGraph
+
+logger = logging.getLogger(__name__)
 
 
 def _huber_weight(r2, delta):
@@ -313,11 +316,12 @@ def _solve_partitioned_flow(scene, tracks, mesh, opts, dtype, num_frames,
     ftol = float(opts.function_tolerance)
     iters = int(opts.max_num_iterations)
     cg_tol = float(opts.cg_relative_tolerance)
+    cg_cap = int(opts.cg_max_iterations)
 
     has_rig_offsets = bool(np.any(np.abs(u_rig_np) > 0))
     if has_rig_offsets:
         c1, X1, _, _ = runner.solve(c0, X0, np.zeros_like(u_rig_np), hub,
-                                    ftol, iters, cg_tol=cg_tol)
+                                    ftol, iters, cg_iters=cg_cap, cg_tol=cg_tol)
         d_base = X1[o_point_np] - c1[o_frame]
         w_np = np.asarray(obs_w, np.float64)
 
@@ -335,12 +339,12 @@ def _solve_partitioned_flow(scene, tracks, mesh, opts, dtype, num_frames,
         costs = np.asarray([cost_at_scale(sg) for sg in grid])
         sg = float(grid[int(np.argmin(costs))])
         c2, X2, _, _ = runner.solve(sg * c1, sg * X1, u_rig_np, 1e3, ftol,
-                                    iters, cg_tol=cg_tol)
+                                    iters, cg_iters=cg_cap, cg_tol=cg_tol)
         c, X, cost, it = runner.solve(c2, X2, u_rig_np, hub, ftol, iters,
-                                      cg_tol=cg_tol)
+                                      cg_iters=cg_cap, cg_tol=cg_tol)
     else:
         c, X, cost, it = runner.solve(c0, X0, u_rig_np, hub, ftol, iters,
-                                      cg_tol=cg_tol)
+                                      cg_iters=cg_cap, cg_tol=cg_tol)
 
     # unknown cam_from_rig: local (unsharded) sensor GN + re-solve rounds
     has_unknown = use_points and n_obs > 0 and \
@@ -362,7 +366,7 @@ def _solve_partitioned_flow(scene, tracks, mesh, opts, dtype, num_frames,
                                 uT, ow, q_f_o, unk_o, o_sens, cs,
                                 num_sensors, hub)
             c, X, cost, it = runner.solve(c, X, np.asarray(uT).T, hub,
-                                          ftol, iters, cg_tol=cg_tol)
+                                          ftol, iters, cg_iters=cg_cap, cg_tol=cg_tol)
         cs_np = np.asarray(cs, dtype=np.float64)
         unk_sensors = np.nonzero(~scene.sensor_known)[0]
         t_s = -rotm.quat_rotate(scene.sensor_quat[unk_sensors],
@@ -455,9 +459,14 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
         cc_w = np.ones(len(cc_i))
         if opts.constraint_type == "POINTS_AND_CAMERAS_BALANCED" and \
                 len(o_frame) > 0:
+            # reference weight_scale_pt = reweight_scale * num_cam_to_cam
+            # / num_pt_to_cam where num_pt_to_cam is the TRACK count
+            # (global_positioning.cc:219-240); the per-obs 0.5 uncalib
+            # factor in obs_w mirrors loss_function_ptcam_uncalibrated
             scale_pt = opts.constraint_reweight_scale * \
-                len(cc_i) / max(len(o_frame), 1)
+                len(cc_i) / max(tracks.num_tracks, 1)
             obs_w = obs_w * scale_pt
+            logger.info("Point-to-camera weight scaled: %.4g", scale_pt)
     else:
         cc_i = np.zeros(0, np.int32)
         cc_j = np.zeros(0, np.int32)
@@ -466,6 +475,9 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
 
     if len(o_frame) == 0 and len(cc_i) == 0:
         return False
+    logger.info(
+        "GP constraints (%s): %d point-to-camera, %d camera-to-camera",
+        opts.constraint_type, len(o_frame), len(cc_i))
 
     # ---- initialization (reference: uniform [-100, 100]^3, seeded) ----
     if opts.generate_random_positions and opts.optimize_positions:
@@ -530,7 +542,8 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
     args_static = (num_frames, num_points_pad,
                    float(opts.thres_loss_function),
                    float(opts.function_tolerance),
-                   int(opts.max_num_iterations), 100,
+                   int(opts.max_num_iterations),
+                   int(opts.cg_max_iterations),
                    float(opts.cg_relative_tolerance), point_width)
     _sh = _shT = _rep = lambda a: a
     of = _sh(jnp.asarray(o_frame))

@@ -24,8 +24,66 @@ from glomap_tpu.scene.view_graph import ViewGraph
 logger = logging.getLogger(__name__)
 
 
+def _drop_1d_radial_cameras(db: DatabaseData) -> DatabaseData:
+    """Graceful 1D_RADIAL policy (reference carries these through
+    RA/GP via colmap's implicit-distortion machinery,
+    view_graph_calibration.cc + BA functors; this build rejects them at
+    canonicalization — see ops/camera_models.py for the rationale).
+
+    A database that CONTAINS such a camera must not crash the mapper:
+    drop its images (with a warning naming the cameras) and reconstruct
+    the rest; raise an actionable error only when nothing is left."""
+    bad_cam = np.asarray([int(m) == cm.RADIAL1D for m in db.cam_model],
+                         dtype=bool)
+    if not bad_cam.any():
+        return db
+    bad_ids = db.camera_ids[bad_cam]
+    remedy = ("re-calibrate them to a full-projection model "
+              "(e.g. SIMPLE_RADIAL) to include them — the 1D radial "
+              "model has no point projection, only radial directions")
+    bad_img = np.isin(db.image_camera_ids, bad_ids)
+    if bad_img.all():
+        raise ValueError(
+            "every image in the database uses an unsupported 1D_RADIAL "
+            f"camera (camera ids {bad_ids.tolist()}); {remedy}")
+    if db.rigs and db.frames:
+        raise ValueError(
+            "the database contains 1D_RADIAL cameras (ids "
+            f"{bad_ids.tolist()}) inside a rig/frame table; partial "
+            f"ingestion of rigs is not supported — {remedy}")
+    logger.warning(
+        "Dropping %d / %d images that use unsupported 1D_RADIAL "
+        "cameras (camera ids %s); %s",
+        int(bad_img.sum()), len(db.image_ids), bad_ids.tolist(), remedy)
+    import dataclasses
+    keep_img = ~bad_img
+    counts = np.diff(db.kp_offset)
+    keep_kp = np.repeat(keep_img, counts)
+    keep_cam = ~bad_cam
+    kept_img_ids = set(db.image_ids[keep_img].tolist())
+    return dataclasses.replace(
+        db,
+        camera_ids=db.camera_ids[keep_cam],
+        cam_model=db.cam_model[keep_cam],
+        cam_width=db.cam_width[keep_cam],
+        cam_height=db.cam_height[keep_cam],
+        cam_params=[p for p, k in zip(db.cam_params, keep_cam) if k],
+        cam_prior_focal=db.cam_prior_focal[keep_cam],
+        image_ids=db.image_ids[keep_img],
+        image_names=[n for n, k in zip(db.image_names, keep_img) if k],
+        image_camera_ids=db.image_camera_ids[keep_img],
+        kp_xy=db.kp_xy[keep_kp],
+        kp_offset=np.concatenate(
+            [[0], np.cumsum(counts[keep_img])]).astype(db.kp_offset.dtype),
+        pose_priors={i: v for i, v in db.pose_priors.items()
+                     if int(i) in kept_img_ids})
+    # two-view geometries referencing dropped images fall out naturally:
+    # database_to_scene skips pairs whose image ids are absent
+
+
 def database_to_scene(db: DatabaseData):
     """DatabaseData -> (Scene, ViewGraph)."""
+    db = _drop_1d_radial_cameras(db)
     scene = Scene()
 
     # cameras (canonicalized)

@@ -122,3 +122,65 @@ def test_unknown_rig_translations_estimated():
         np.linalg.norm(est, axis=-1) * np.linalg.norm(gt_st[unk], axis=-1),
         1e-12)
     assert cosang.min() > 0.999
+
+
+def test_points_and_cameras_mode_positions_obsless_frame():
+    """POINTS_AND_CAMERAS (reference global_positioning.cc:167-268):
+    camera-to-camera BATA constraints must change the optimum. A frame
+    whose every observation is masked is unconstrained under ONLY_POINTS
+    (stays at its random init) but is positioned by the pairwise
+    direction constraints when camera-to-camera residuals are added."""
+    scene, vg, tracks, gt = _prepare(
+        SyntheticOptions(num_frames_per_rig=15, num_points3D=200, seed=19))
+    # strip every observation of one mid-sequence frame
+    f_cut = 7
+    cut = scene.image_frame[tracks.obs_image] == f_cut
+    assert cut.any()
+    tracks.obs_valid[cut] = False
+
+    s_only = scene  # run ONLY_POINTS on a copy of the pose state
+    import copy
+    s_pc = copy.deepcopy(scene)
+    t_pc = tracks.copy()
+
+    assert solve_global_positioning(
+        s_only, vg, tracks, GlobalPositionerOptions(
+            constraint_type="ONLY_POINTS"))
+    errs_only = _center_errors(s_only, gt)
+    assert solve_global_positioning(
+        s_pc, vg, t_pc, GlobalPositionerOptions(
+            constraint_type="POINTS_AND_CAMERAS"))
+    errs_pc = _center_errors(s_pc, gt)
+    # the cut frame is far off without cam-cam constraints, recovered
+    # with them; all other frames stay accurate in both modes
+    assert errs_only[f_cut] > 1.0
+    assert errs_pc[f_cut] < 0.05
+    mask = np.arange(scene.num_frames) != f_cut
+    assert errs_pc[mask].max() < 0.05
+
+
+def test_points_and_cameras_balanced_reweighting(caplog):
+    """POINTS_AND_CAMERAS_BALANCED applies the reference's
+    weight_scale_pt = reweight_scale * num_cam_to_cam / num_tracks
+    (global_positioning.cc:219-240) and still converges."""
+    import logging
+    scene, vg, tracks, gt = _prepare(
+        SyntheticOptions(num_frames_per_rig=15, num_points3D=200, seed=20))
+    with caplog.at_level(logging.INFO,
+                         logger="glomap_tpu.estimators.global_positioning"):
+        assert solve_global_positioning(
+            scene, vg, tracks, GlobalPositionerOptions(
+                constraint_type="POINTS_AND_CAMERAS_BALANCED",
+                constraint_reweight_scale=2.0))
+    errs = _center_errors(scene, gt)
+    assert errs.max() < 5e-3
+    # mode-specific residual mix: both constraint families present, and
+    # the point-weight scale matches the reference formula
+    cons = [r for r in caplog.records if "GP constraints" in r.message]
+    assert cons and "POINTS_AND_CAMERAS_BALANCED" in cons[0].getMessage()
+    n_pt, n_cc = cons[0].args[1], cons[0].args[2]
+    assert n_pt > 0 and n_cc > 0
+    scaled = [r for r in caplog.records
+              if "Point-to-camera weight scaled" in r.message]
+    want = 2.0 * n_cc / tracks.num_tracks
+    assert scaled and abs(float(scaled[0].args[0]) - want) < 1e-9

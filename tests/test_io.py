@@ -175,3 +175,75 @@ def test_color_extraction(tmp_path):
     # every colored track's color equals its first obs image's color
     colored = tracks.color.sum(axis=1) > 0
     assert colored.sum() > 30
+
+
+def _retag_camera_1d_radial(db_path, camera_id):
+    """Rewrite one camera row as 1D_RADIAL (model 11, params cx cy)."""
+    import sqlite3
+    con = sqlite3.connect(db_path)
+    params = np.asarray([500.0, 375.0], np.float64)  # cx, cy
+    con.execute(
+        "UPDATE cameras SET model=11, params=? WHERE camera_id=?",
+        (params.tobytes(), int(camera_id)))
+    con.commit()
+    con.close()
+
+
+def test_1d_radial_camera_dropped_gracefully(tmp_path, caplog):
+    """A DB containing a 1D_RADIAL camera (unsupported: no point
+    projection — ops/camera_models.py) must degrade gracefully: its
+    images are dropped with an actionable warning and the rest of the
+    scene reconstructs (VERDICT r4 #8; the reference carries these via
+    colmap, view_graph_calibration.cc + BA functors)."""
+    import logging
+    # two rigs -> two cameras; retagging one drops exactly its images
+    scene0, vg0, gt = synthesize_dataset(
+        SyntheticOptions(num_rigs=2, num_frames_per_rig=10,
+                         num_points3D=150, seed=43))
+    db_path = str(tmp_path / "scene.db")
+    write_database(db_path, scene0, vg0)
+    victim_cam = int(scene0.camera_ids[scene0.image_camera[0]])
+    n_victim = int((scene0.image_camera
+                    == scene0.image_camera[0]).sum())
+    _retag_camera_1d_radial(db_path, victim_cam)
+
+    with caplog.at_level(logging.WARNING, logger="glomap_tpu.io.convert"):
+        scene, vg = database_to_scene(read_database(db_path))
+    assert scene.num_images == scene0.num_images - n_victim
+    assert (scene.cam_model_id != 11).all()
+    warn = [r for r in caplog.records if "1D_RADIAL" in r.message]
+    assert warn and "SIMPLE_RADIAL" in warn[0].getMessage()
+    # keypoint slices re-packed consistently
+    assert scene.kp_offset[-1] == len(scene.kp_xy)
+    # pairs touching the dropped image fell out; the rest survive
+    assert vg.num_pairs > 0
+    assert vg.pair_i.max() < scene.num_images
+    assert vg.pair_j.max() < scene.num_images
+    # and the remaining scene still maps end-to-end
+    from glomap_tpu.config import GlobalMapperOptions
+    from glomap_tpu.controllers.global_mapper import GlobalMapper
+    from glomap_tpu.processors.pair_inliers import image_pairs_inlier_count
+    from glomap_tpu.processors.undistortion import undistort_images
+    undistort_images(scene)
+    image_pairs_inlier_count(scene, vg)
+    opt = GlobalMapperOptions()
+    opt.skip_preprocessing = True
+    opt.skip_view_graph_calibration = True
+    opt.skip_relative_pose_estimation = True
+    opt.skip_retriangulation = True
+    tracks = GlobalMapper(opt).solve(scene, vg)
+    assert tracks is not None
+
+
+def test_1d_radial_all_cameras_actionable_error(tmp_path):
+    """When EVERY image uses a 1D_RADIAL camera, ingestion fails with an
+    error that names the remediation instead of crashing downstream."""
+    import pytest
+    scene0, vg0, _ = synthesize_dataset(
+        SyntheticOptions(num_frames_per_rig=5, num_points3D=100, seed=44))
+    db_path = str(tmp_path / "scene.db")
+    write_database(db_path, scene0, vg0)
+    for cid in scene0.camera_ids:
+        _retag_camera_1d_radial(db_path, int(cid))
+    with pytest.raises(ValueError, match="1D_RADIAL"):
+        database_to_scene(read_database(db_path))
