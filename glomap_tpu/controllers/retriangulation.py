@@ -304,11 +304,10 @@ def merge_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
             jax.device_put(scene.cam_kind[ecam], cpu),
             jax.device_put(pt_cam_e, cpu)))
         err_e = np.linalg.norm(px_e - scene.kp_xy[ekp], axis=-1)
-        badp = np.zeros(n_cand, dtype=bool)
-        np.logical_or.at(badp, epair,
-                         (err_e >= max_reproj_px) |
-                         (pt_cam_e[:, 2] <= 1e-12))
-        survive = ~badp
+        bad_e = (err_e >= max_reproj_px) | (pt_cam_e[:, 2] <= 1e-12)
+        # bincount, not logical_or.at (interpreted per-element loop)
+        survive = np.bincount(epair, weights=bad_e,
+                              minlength=n_cand) == 0
         logger.debug("merge round %d: %d/%d pairs past endpoint "
                      "prefilter", _round, int(survive.sum()), n_cand)
         if not survive.any():
@@ -341,8 +340,8 @@ def merge_tracks(scene: Scene, vg: ViewGraph, tracks: Tracks,
         kp = scene.kp_offset[img] + tracks.obs_feature[rows]
         err = np.linalg.norm(px - scene.kp_xy[kp], axis=-1)
         row_ok = (err < max_reproj_px) & (pt_cam[:, 2] > 1e-12)
-        bad = np.zeros(n_cand, dtype=bool)
-        np.logical_or.at(bad, cand_of_row, ~row_ok)
+        bad = np.bincount(cand_of_row, weights=~row_ok,
+                          minlength=n_cand) > 0
         acc = ~bad & (n1 > 0) & (n2 > 0)
         if not acc.any():
             break

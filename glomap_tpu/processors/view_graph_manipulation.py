@@ -40,13 +40,13 @@ def update_image_pairs_config(scene: Scene, vg: ViewGraph) -> int:
     is_cal = both_prior & (vg.pair_config == CONFIG_CALIBRATED)
     is_uncal = both_prior & (vg.pair_config == CONFIG_UNCALIBRATED)
 
-    total = np.zeros(scene.num_cameras)
-    calib = np.zeros(scene.num_cameras)
-    for arr, msk in ((ci, is_cal), (cj, is_cal)):
-        np.add.at(calib, arr[msk], 1)
-        np.add.at(total, arr[msk], 1)
-    for arr in (ci, cj):
-        np.add.at(total, arr[is_uncal], 1)
+    # bincounts, not np.add.at (an interpreted per-element loop —
+    # BENCH_NOTES round-4 host-filter discipline)
+    C = scene.num_cameras
+    calib = (np.bincount(ci[is_cal], minlength=C)
+             + np.bincount(cj[is_cal], minlength=C)).astype(np.float64)
+    total = calib + np.bincount(ci[is_uncal], minlength=C) \
+        + np.bincount(cj[is_uncal], minlength=C)
     cam_ok = np.divide(calib, total, out=np.zeros_like(calib),
                        where=total > 0) > 0.5
 
@@ -200,9 +200,10 @@ def sparsify_graph(vg: ViewGraph, scene: Scene, expected_degree: int = 50,
     if vg.num_pairs == 0:
         return 0
     rng = np.random.default_rng(seed)
-    deg = np.zeros(scene.num_images, dtype=np.int64)
-    np.add.at(deg, vg.pair_i[vg.pair_valid], 1)
-    np.add.at(deg, vg.pair_j[vg.pair_valid], 1)
+    deg = np.bincount(vg.pair_i[vg.pair_valid],
+                      minlength=scene.num_images) \
+        + np.bincount(vg.pair_j[vg.pair_valid],
+                      minlength=scene.num_images)
     dmin = np.minimum(deg[vg.pair_i], deg[vg.pair_j])
     p_keep = np.minimum(1.0, expected_degree / np.maximum(dmin, 1))
     drop = vg.pair_valid & (rng.uniform(size=vg.num_pairs) > p_keep)

@@ -115,7 +115,7 @@ class ViewGraph:
 
         self.pair_valid &= in_comp[self.pair_i] & in_comp[self.pair_j]
         frame_in = np.zeros(scene.num_frames, dtype=bool)
-        np.add.at(frame_in, scene.image_frame[in_comp], True)
+        frame_in[scene.image_frame[in_comp]] = True
         scene.frame_registered[:] = frame_in
         return int(in_comp.sum())
 

@@ -19,22 +19,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-CKPT = "/tmp/glomap_e2e_scene.npz"
+def ckpt_path(capture, frames, points):
+    return f"/tmp/glomap_e2e_scene_{capture}_{frames}_{points}.npz"
 
 
-def prepare(frames, points):
+def prepare(capture, frames, points):
     from glomap_tpu.io.checkpoint import save_checkpoint
     from glomap_tpu.processors.pair_inliers import image_pairs_inlier_count
     from glomap_tpu.processors.undistortion import undistort_images
-    from glomap_tpu.utils.synthetic import (SyntheticOptions,
-                                            synthesize_dataset)
 
-    scene, vg, gt = synthesize_dataset(SyntheticOptions(
-        num_frames_per_rig=frames, num_points3D=points, seed=7,
-        point2D_stddev=0.5, inlier_match_ratio=0.9, min_common_points=50))
+    if capture == "ring":
+        from glomap_tpu.utils.synthetic import (SyntheticOptions,
+                                                synthesize_dataset)
+        scene, vg, gt = synthesize_dataset(SyntheticOptions(
+            num_frames_per_rig=frames, num_points3D=points, seed=7,
+            point2D_stddev=0.5, inlier_match_ratio=0.9,
+            min_common_points=50))
+    else:  # sequential loop capture (1DSfM Alamo/Roman Forum analog)
+        from glomap_tpu.utils.synthetic import (
+            SequentialCaptureOptions, synthesize_sequential_dataset)
+        scene, vg, gt = synthesize_sequential_dataset(
+            SequentialCaptureOptions(
+                num_frames=frames, num_points3D=points,
+                point2D_stddev=0.5, inlier_match_ratio=0.9, seed=7))
     undistort_images(scene)
     image_pairs_inlier_count(scene, vg)
-    save_checkpoint(CKPT, scene, vg,
+    save_checkpoint(ckpt_path(capture, frames, points), scene, vg,
                     gt_frame_quat=gt["frame_quat"],
                     gt_frame_trans=gt["frame_trans"])
     print(f"# prepared: {scene.num_images} images, {vg.num_pairs} pairs, "
@@ -45,20 +55,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--points", type=int, default=2000)
+    ap.add_argument("--capture", choices=("ring", "sequential"),
+                    default="ring")
+    ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--prepare", action="store_true")
     args = ap.parse_args()
 
     if args.prepare:
-        prepare(args.frames, args.points)
+        prepare(args.capture, args.frames, args.points)
         return
 
+    CKPT = ckpt_path(args.capture, args.frames, args.points)
     if not os.path.exists(CKPT):
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)
         env["JAX_PLATFORMS"] = "cpu"
         subprocess.run([sys.executable, os.path.abspath(__file__),
                         "--prepare", "--frames", str(args.frames),
-                        "--points", str(args.points)], env=env, check=True)
+                        "--points", str(args.points),
+                        "--capture", args.capture], env=env, check=True)
 
     import logging
     logging.basicConfig(
@@ -86,7 +101,7 @@ def main():
     # run twice: the first pass pays one-time remote jit compiles
     # (minutes through the tunnel); the second measures the steady state
     # every later scene of the same bucketed shape gets
-    for run in range(2):
+    for run in range(args.runs):
         scene, vg, _, extra = load_checkpoint(CKPT)
         t0 = time.time()
         tracks = GlobalMapper(opt).solve(scene, vg)

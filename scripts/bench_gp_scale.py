@@ -1,0 +1,128 @@
+"""GP at-scale TPU benchmark: 10k frames / 100k points / 1M observations
+(VERDICT r4 #2 — BA and RA both had city-scale rows; this adds the
+matching row for the reference's second-hottest solve,
+global_positioning.cc:86,554).
+
+Usage: python scripts/bench_gp_scale.py [--frames 10000] [--obs 1000000]
+Prints one JSON line. Plain env (runs on the TPU).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def cache_path(frames, obs):
+    return f"/tmp/glomap_bench_gp_{frames}_{obs}.npz"
+
+
+def prepare(frames, obs):
+    rng = np.random.default_rng(4)
+    F = frames
+    L = 10                      # observations per track
+    T = obs // L
+    # sequential capture: track t observed by L consecutive frames
+    # starting at a frame proportional to t (the track-sorted obs axis
+    # then has bounded frame windows, like the BA bench scenes)
+    circ = 2 * np.pi * np.arange(F) / F
+    centers = np.stack([50 * np.cos(circ),
+                        0.1 * rng.standard_normal(F),
+                        50 * np.sin(circ)], 1)
+    f0 = np.minimum((np.arange(T) * (F - L)) // max(T - 1, 1),
+                    F - L).astype(np.int64)
+    X = centers[np.minimum(f0 + L // 2, F - 1)] * 1.2 \
+        + rng.uniform(-3, 3, (T, 3))
+    gp_point = np.repeat(np.arange(T, dtype=np.int32), L)
+    gp_frame = (f0[:, None] + np.arange(L)[None, :]).reshape(-1).astype(
+        np.int32)
+    d = X[gp_point] - centers[gp_frame]
+    t_obs = d / np.linalg.norm(d, axis=1, keepdims=True)
+    t_obs += 0.002 * rng.standard_normal(t_obs.shape)
+    order = np.argsort(gp_point, kind="stable")
+    np.savez(cache_path(frames, obs),
+             gp_frame=gp_frame[order], gp_point=gp_point[order],
+             gp_tobs=t_obs[order],
+             gp_centers0=centers + rng.standard_normal(centers.shape),
+             gp_X0=X + 0.5 * rng.standard_normal(X.shape))
+    print(f"# prepared GP {F} frames / {T} points / {len(gp_point)} obs",
+          file=sys.stderr)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=10_000)
+    ap.add_argument("--obs", type=int, default=1_000_000)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--cg-iters", type=int, default=100)
+    ap.add_argument("--prepare", action="store_true")
+    args = ap.parse_args()
+    if args.prepare:
+        prepare(args.frames, args.obs)
+        return
+    cache = cache_path(args.frames, args.obs)
+    if not os.path.exists(cache):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--prepare", "--frames", str(args.frames),
+                        "--obs", str(args.obs)], env=env, check=True)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from glomap_tpu.estimators.global_positioning import _solve_gp
+    from glomap_tpu.ops.pallas_kernels import block_width_for_sorted
+
+    d = dict(np.load(cache))
+    print(f"# device {jax.devices()[0]}", file=sys.stderr)
+    gp_frame = jnp.asarray(d["gp_frame"])
+    gp_point = jnp.asarray(d["gp_point"])
+    tT = jnp.asarray(np.ascontiguousarray(d["gp_tobs"].T), jnp.float32)
+    uT = jnp.zeros_like(tT)
+    ow = jnp.ones((gp_frame.shape[0],), jnp.float32)
+    c0 = jnp.asarray(d["gp_centers0"], jnp.float32)
+    X0 = jnp.asarray(d["gp_X0"], jnp.float32)
+    e0 = jnp.zeros((0,), jnp.int32)
+    eT = jnp.zeros((3, 0), jnp.float32)
+    ew = jnp.zeros((0,), jnp.float32)
+    pw = block_width_for_sorted(d["gp_point"])
+    Fg = len(d["gp_centers0"])
+    T = len(d["gp_X0"])
+    n_obs = int(gp_frame.shape[0])
+
+    def run():
+        c, X, cost, it = _solve_gp(c0, X0, gp_frame, gp_point, tT, uT, ow,
+                                   e0, e0, eT, ew, Fg, T, 0.1, 0.0,
+                                   args.iters, args.cg_iters, point_width=pw)
+        return float(cost), int(it)
+
+    t0 = time.time()
+    cost, it = run()
+    print(f"# compile+first: {time.time() - t0:.1f}s, {it} iters, "
+          f"cost {cost:.4g}", file=sys.stderr)
+    best = 0.0
+    for rep in range(3):
+        t0 = time.time()
+        cost, it = run()
+        dt = time.time() - t0
+        print(f"# rep {rep}: {it} iters in {dt:.2f}s cost {cost:.4g}",
+              file=sys.stderr)
+        best = max(best, it / dt)
+    print(json.dumps({
+        "metric": "global_positioning_iters_per_s_scale",
+        "value": round(best, 2),
+        "unit": f"LM iterations/s ({Fg} frames, {n_obs} obs, f32)"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -119,6 +119,8 @@ def main():
     ap.add_argument("--tracks-per-view", type=int, default=1000)
     ap.add_argument("--pairs-per-image", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--cg-iters", type=int, default=30)
+    ap.add_argument("--cg-tol", type=float, default=1e-2)
     ap.add_argument("--prepare", action="store_true")
     args = ap.parse_args()
     tag = f"{args.frames}x{args.points}x{args.tracks_per_view}"
@@ -170,7 +172,9 @@ def main():
                         num_points=sizes["num_points"],
                         huber_delta=1.0, function_tol=0.0,
                         max_rejections=1 << 30,
-                        max_iters=n_iters, cg_iters=30,
+                        max_iters=n_iters,
+                        cg_iters=args.cg_iters,
+                        cg_tol=args.cg_tol,
                         optimize_points=True, fast_path=fast,
                         point_width=point_width, frame_width=frame_width,
                         o_sensor=a["o_sensor"],

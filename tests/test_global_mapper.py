@@ -261,3 +261,35 @@ def test_mapper_reundistortion_after_intrinsics_ba():
         err_b = np.linalg.norm(apply_sim3(s, R, t, est_c) - gt_c,
                                axis=-1).max()
         assert err_b > 0.02, "stale rays unexpectedly matched the oracle"
+
+
+def test_mapper_sequential_loop_capture():
+    """Full pipeline (incl. relpose re-estimation + retriangulation) on
+    the sequential loop capture (utils/synthetic.py
+    synthesize_sequential_dataset — the 1DSfM Alamo/Roman Forum analog
+    with LOCAL covisibility): noisy oracle bounds, all frames
+    registered. Validates the generator + pipeline at the geometry the
+    at-scale e2e benchmark uses (scripts/bench_e2e.py --capture
+    sequential)."""
+    from glomap_tpu.utils.synthetic import (SequentialCaptureOptions,
+                                            synthesize_sequential_dataset)
+    scene, vg, gt = synthesize_sequential_dataset(SequentialCaptureOptions(
+        num_frames=60, num_points3D=3000, max_kp_per_image=500,
+        point2D_stddev=0.5, inlier_match_ratio=0.9, seed=5))
+    scene.frame_quat = np.tile([1.0, 0, 0, 0], (scene.num_frames, 1))
+    scene.frame_trans = np.zeros((scene.num_frames, 3))
+    vg.pair_quat = np.tile([1.0, 0, 0, 0], (vg.num_pairs, 1))
+    vg.pair_trans = np.tile([0.0, 0, 1.0], (vg.num_pairs, 1))
+    undistort_images(scene)
+    image_pairs_inlier_count(scene, vg)
+
+    opt = GlobalMapperOptions()
+    opt.skip_preprocessing = True
+    opt.skip_view_graph_calibration = True
+    tracks = GlobalMapper(opt).solve(scene, vg)
+    assert tracks is not None
+    assert scene.frame_registered.sum() == scene.num_frames
+    # scene extent ~50 (ring radius) vs the reference oracle's ~10:
+    # scale the 1e-1 center bound accordingly
+    _expect_equal(scene, gt, 1e-1, 5e-1)
+    assert tracks.obs_valid.mean() > 0.9
