@@ -51,6 +51,15 @@ def prepare(capture, frames, points):
           f"{vg.num_matches} matches", file=sys.stderr)
 
 
+def _time_probe(mm, a):
+    t0 = time.time()
+    x = a
+    for _ in range(8):
+        x = mm(x)
+    float(x[0, 0])
+    return time.time() - t0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=100)
@@ -81,6 +90,10 @@ def main():
         format="%(asctime)s %(name)s: %(message)s")
     logging.getLogger("jax").setLevel(logging.INFO)
     import jax
+    if os.environ.get("GLOMAP_COMPILE_LOG"):
+        # cold-start inventory: one WARNING line per XLA compile with
+        # the jitted function name + shapes (VERDICT r4 #6)
+        jax.config.update("jax_log_compiles", True)
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -92,6 +105,17 @@ def main():
     from glomap_tpu.math.sim3 import umeyama_alignment, apply_sim3
 
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
+
+    # chip-session speed probe: the tunneled chip is time-shared with
+    # ~6x wall variance between sessions; this fixed 4096^2 matmul chain
+    # gives every reported e2e number a same-session normalizer
+    # (BENCH_NOTES reports wall * (probe_ref / probe) comparisons)
+    a = jnp.ones((4096, 4096), jnp.float32)
+    mm = jax.jit(lambda x: x @ x)
+    float(mm(a)[0, 0])  # compile
+    probe = min(_time_probe(mm, a) for _ in range(3))
+    print(f"# session probe: {probe*1e3:.2f} ms / 8 matmuls",
+          file=sys.stderr)
 
     opt = GlobalMapperOptions()
     opt.skip_preprocessing = True  # poses already decomposed in prep
@@ -124,6 +148,7 @@ def main():
                 f"{tracks.num_tracks} tracks)",
         "center_err_max": float(err.max()),
         "images_per_s": round(float(reg.sum()) / total, 2),
+        "session_probe_ms": round(probe * 1e3, 2),
     }))
 
 
