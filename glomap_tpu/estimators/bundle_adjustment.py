@@ -37,6 +37,12 @@ from glomap_tpu.ops import camera_models as cm
 from glomap_tpu.ops.linear import cg_generic
 from glomap_tpu.scene.arrays import Scene, Tracks
 
+# segmentation model for bounded-duration device calls (see
+# solve_bundle_adjustment): target seconds per XLA execution and
+# the conservative obs*iters/s throughput used to size segments
+_SEGMENT_TARGET_S = 20.0
+_BA_OBS_ITERS_PER_S = 1e7
+
 # canonical distortion slots used by each COLMAP model (see
 # ops/camera_models.canonicalize)
 _DIST_SLOTS = {
@@ -167,6 +173,10 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
               # per-camera kind (C,) int for the all-kind fast path
               # (perspective/fisheye/FOV); None = all perspective
               cam_kind=None,
+              # LM damping carry for host-segmented solves (the
+              # tunneled chip kills single executions >~60-90 s; see
+              # solve_bundle_adjustment's segment loop). None = 1e-4.
+              lam0=None,
               # replicated (S,) sensor->camera map (required under
               # shard_map where local obs may not cover every sensor;
               # None = derive from the local obs)
@@ -777,13 +787,15 @@ def _solve_ba(frame_quat, frame_trans, cam_params, points,
         sensor_trans = jnp.zeros((max(num_sensors, 1), 3), dtype)
     cost0 = compute_cost(frame_quat, frame_trans, cam_params, points,
                          sensor_quat, sensor_trans)
+    lam_init = jnp.asarray(1e-4, dtype) if lam0 is None \
+        else jnp.asarray(lam0, dtype)
     state = (frame_quat, frame_trans, cam_params, points,
              sensor_quat, sensor_trans,
-             jnp.asarray(1e-4, dtype), cost0, 0, jnp.asarray(False),
+             lam_init, cost0, 0, jnp.asarray(False),
              jnp.asarray(True), jnp.asarray(0), jnp.asarray(0))
-    fq, ft, cp, X, sq, st, _, cost, it, _, _, _, cg_total = \
+    fq, ft, cp, X, sq, st, lam, cost, it, done, _, _, cg_total = \
         jax.lax.while_loop(cond, lm_step, state)
-    return fq, ft, cp, X, cost, it, sq, st, cg_total
+    return fq, ft, cp, X, cost, it, sq, st, cg_total, lam, done
 
 
 def ba_fast_path_ok(scene: Scene) -> bool:
@@ -897,7 +909,7 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         sensor_mask[~scene.sensor_is_ref, :] = 1.0
 
     _t1 = _time.monotonic()
-    fq, ft, cp, X, cost, it, sq, st, cg_total = _solve_ba(
+    args_pos = (
         jnp.asarray(scene.frame_quat, dtype=dtype),
         jnp.asarray(scene.frame_trans, dtype=dtype),
         jnp.asarray(scene.cam_params, dtype=dtype),
@@ -910,11 +922,8 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         jnp.asarray(o_uv_np, dtype=dtype),
         jnp.asarray(cam_T, dtype=dtype),
         jnp.asarray(o_w_np, dtype=dtype),
-        jnp.asarray(frame_mask, dtype=dtype),
-        scene.num_frames, scene.num_cameras, num_points_pad,
-        float(opts.thres_loss_function), float(opts.function_tolerance),
-        int(opts.max_num_iterations), int(opts.cg_max_iterations),
-        bool(opts.optimize_points),
+        jnp.asarray(frame_mask, dtype=dtype))
+    kw = dict(
         fast_path=fast_path,
         o_sensor=jnp.asarray(o_sensor),
         sensor_quat=jnp.asarray(scene.sensor_quat, dtype=dtype),
@@ -925,6 +934,42 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
         point_width=point_width, frame_width=frame_width,
         cam_kind=jnp.asarray(scene.cam_kind.astype(np.int32)),
         cg_tol=float(opts.cg_relative_tolerance))
+    stat = (scene.num_frames, scene.num_cameras, num_points_pad,
+            float(opts.thres_loss_function),
+            float(opts.function_tolerance))
+    max_iters = int(opts.max_num_iterations)
+    # bounded-duration device calls: the tunneled chip kills single XLA
+    # executions >~60-90 s (measured round 5, GP at 2.4M obs); the
+    # conservative per-LM-iteration model is obs / 1e7 s (the measured
+    # rate at 1-10M obs). Small problems take the single-call path with
+    # the exact pre-segmentation graph.
+    seg = max(5, int(_SEGMENT_TARGET_S * _BA_OBS_ITERS_PER_S
+                     / max(n_obs, 1)))
+    if seg >= max_iters:
+        fq, ft, cp, X, cost, it, sq, st, cg_total, _lam, _done = \
+            _solve_ba(*args_pos, *stat, max_iters,
+                      int(opts.cg_max_iterations),
+                      bool(opts.optimize_points), **kw)
+        it = int(it)
+        cg_total = int(cg_total)
+    else:
+        lam = jnp.asarray(1e-4, dtype)
+        state = args_pos[:4] + (kw["sensor_quat"], kw["sensor_trans"])
+        it = 0
+        cg_total = 0
+        while True:
+            fq, ft, cp, X, cost, s_it, sq, st, s_cg, lam, done = \
+                _solve_ba(state[0], state[1], state[2], state[3],
+                          *args_pos[4:], *stat, seg,
+                          int(opts.cg_max_iterations),
+                          bool(opts.optimize_points), lam0=lam,
+                          **{**kw, "sensor_quat": state[4],
+                             "sensor_trans": state[5]})
+            it += int(s_it)
+            cg_total += int(s_cg)
+            state = (fq, ft, cp, X, sq, st)
+            if bool(done) or int(s_it) < seg or it >= max_iters:
+                break
 
     fq = np.asarray(fq, dtype=np.float64)
     ft = np.asarray(ft, dtype=np.float64)
@@ -934,8 +979,8 @@ def solve_bundle_adjustment(scene: Scene, tracks: Tracks,
     _logging.getLogger(__name__).info(
         "BA solve: %d LM iters, cost %.3e, host prep %.2fs, "
         "solve+pull %.2fs (%d obs, %d CG iters total, %.1f/LM, cap %d)",
-        int(it), float(cost), _t1 - _t0, _time.monotonic() - _t1, n_obs,
-        int(cg_total), float(cg_total) / max(int(it), 1),
+        it, float(cost), _t1 - _t0, _time.monotonic() - _t1, n_obs,
+        cg_total, float(cg_total) / max(it, 1),
         int(opts.cg_max_iterations))
     if not (np.all(np.isfinite(fq)) and np.all(np.isfinite(ft)) and
             np.all(np.isfinite(cp)) and np.all(np.isfinite(X))):

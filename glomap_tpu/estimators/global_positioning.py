@@ -46,6 +46,10 @@ from glomap_tpu.scene.view_graph import ViewGraph
 
 logger = logging.getLogger(__name__)
 
+# segmentation model (see _gp_segment_iters)
+_SEGMENT_TARGET_S = 20.0
+_GP_OBS_ITERS_PER_S = 1.6e6
+
 
 def _huber_weight(r2, delta):
     """IRLS weight of Ceres HuberLoss(delta) on squared norm r2."""
@@ -94,7 +98,13 @@ def _solve_gp(c0, X0,
               # replicated; frame-axis reductions psum over this axis,
               # point-axis reductions stay local (obs co-located with
               # their point's shard)
-              mesh_axis: str | None = None):
+              mesh_axis: str | None = None,
+              # LM damping carry for host-segmented solves (the tunneled
+              # chip KILLS single XLA executions running longer than
+              # ~60-90 s — measured: 100 LM iters at 2.4M obs crashed
+              # the worker, 40 survived; see solve_global_positioning's
+              # segment loop). None = fresh 1e-4.
+              lam0=None):
     """LM with exact scale projection + point Schur elimination.
 
     Lane-major re-design (same treatment that took BA from 8.5 to >100
@@ -175,10 +185,13 @@ def _solve_gp(c0, X0,
             """a (I - h h^T) u on row stacks (3, O)."""
             return a * (uT - hT * jnp.sum(hT * uT, 0))
 
-        g_c = reduce_f((w * s) * rT)                  # (F, 3)
-        g_X = reduce_p(-(w * s) * rT)                 # (T, 3)
-        m_f = reduce_f(moments(a, hT))                # (F, 7)
-        m_p = reduce_p(moments(a, hT))                # (T, 7)
+        # exact=True: these sums ARE the gradient and Hessian blocks;
+        # default bf16 contraction floors LM at the bf16 roundoff
+        # (measured: cost 17 vs 6e-6 at extent-50 scenes, round 5)
+        g_c = reduce_f((w * s) * rT, exact=True)      # (F, 3)
+        g_X = reduce_p(-(w * s) * rT, exact=True)     # (T, 3)
+        m_f = reduce_f(moments(a, hT), exact=True)    # (F, 7)
+        m_p = reduce_p(moments(a, hT), exact=True)    # (T, 7)
 
         if num_cc:
             dcT, dcn2, sc, rcT = rows_cc(c)
@@ -190,10 +203,11 @@ def _solve_gp(c0, X0,
                 return acc * (uT - hcT * jnp.sum(hcT * uT, 0))
 
             # residual t - s(c_j - c_i): dr/dc_i = +sI, dr/dc_j = -sI
-            g_c = g_c + reduce_ci((wc * sc) * rcT) \
-                - reduce_cj((wc * sc) * rcT)
+            g_c = g_c + reduce_ci((wc * sc) * rcT, exact=True) \
+                - reduce_cj((wc * sc) * rcT, exact=True)
             mc = moments(acc, hcT)
-            m_f = m_f + reduce_ci(mc) + reduce_cj(mc)
+            m_f = m_f + reduce_ci(mc, exact=True) \
+                + reduce_cj(mc, exact=True)
 
         B_f = _blocks_from_moments(m_f, eye3)
         B_p = _blocks_from_moments(m_p, eye3)
@@ -210,7 +224,7 @@ def _solve_gp(c0, X0,
 
         # rhs of the Schur system on frames: b_f = -g_c - H_cp Bp_inv (-g_X)
         z = jnp.einsum("tij,tj->ti", Bp_inv, -g_X)
-        b_f = -g_c - reduce_f(-apply_aP(gather_p(z)))
+        b_f = -g_c - reduce_f(-apply_aP(gather_p(z)), exact=True)
 
         def schur_mv(v):
             # exact=False: bf16 one-hot expansion inside the CG loop —
@@ -232,7 +246,7 @@ def _solve_gp(c0, X0,
         dc_step = cg_generic(schur_mv, b_f, max_iters=cg_iters,
                              tol=cg_tol, precond=precond)
         # back-substitute points: dX = Bp_inv (-g_X - H_pc dc)
-        Hpcdc = reduce_p(-apply_aP(gather_f(dc_step)))
+        Hpcdc = reduce_p(-apply_aP(gather_f(dc_step)), exact=True)
         dX = jnp.einsum("tij,tj->ti", Bp_inv, -g_X - Hpcdc)
 
         c_new = c + dc_step
@@ -257,10 +271,13 @@ def _solve_gp(c0, X0,
         return (it < max_iters) & ~done
 
     init_cost = cost_of(c0, X0)
-    state = (c0, X0, jnp.asarray(1e-4, dtype), init_cost, 0,
+    lam_init = jnp.asarray(1e-4, dtype) if lam0 is None \
+        else jnp.asarray(lam0, dtype)
+    state = (c0, X0, lam_init, init_cost, 0,
              jnp.asarray(False), jnp.asarray(True), jnp.asarray(0))
-    c, X, lam, cost, it, _, _, _ = jax.lax.while_loop(cond, lm_step, state)
-    return c, X, cost, it
+    c, X, lam, cost, it, done, _, _ = jax.lax.while_loop(cond, lm_step,
+                                                         state)
+    return c, X, cost, it, lam, done
 
 
 @partial(jax.jit, static_argnames=("num_sensors", "huber_delta"))
@@ -383,6 +400,46 @@ def _solve_partitioned_flow(scene, tracks, mesh, opts, dtype, num_frames,
         if use_points:
             tracks.valid &= track_ok
     return True
+
+
+
+def _gp_segment_iters(n_obs: int, max_iters: int) -> int:
+    """LM iterations per device call, capped so no single XLA execution
+    exceeds ~20 s: the tunneled shared chip KILLS executions running
+    longer than ~60-90 s ("TPU worker process crashed or restarted" —
+    measured round 5: 100 LM iters at 2.4M obs crashed, 40 survived;
+    the conservative per-iteration model is obs / 1.6e6 s, the measured
+    rate at 1M obs). Small problems return >= max_iters so the common
+    path stays ONE device call with the exact pre-segmentation graph."""
+    t_iter = max(n_obs, 1) / _GP_OBS_ITERS_PER_S
+    return max(5, int(_SEGMENT_TARGET_S / t_iter))
+
+
+def _solve_gp_segmented(c, X, of, op, tT, uT, ow, ci, cj, tccT, cw,
+                        num_frames, num_points, hub, ftol, max_iters,
+                        cg_iters, cg_tol, point_width):
+    """Host-segmented _solve_gp: bounded-duration device calls with the
+    LM damping carried between segments (same trajectory as the single
+    call modulo the segment boundaries). The final partial segment runs
+    at the full segment length (iteration budget may overshoot by up to
+    seg-1 — never truncates)."""
+    seg = _gp_segment_iters(int(of.shape[0]), int(max_iters))
+    if seg >= max_iters:
+        c, X, cost, it, _lam, _done = _solve_gp(
+            c, X, of, op, tT, uT, ow, ci, cj, tccT, cw,
+            num_frames, num_points, hub, ftol, max_iters, cg_iters,
+            cg_tol, point_width)
+        return c, X, cost, int(it)
+    lam = jnp.asarray(1e-4, c.dtype)
+    it_total = 0
+    while True:
+        c, X, cost, it, lam, done = _solve_gp(
+            c, X, of, op, tT, uT, ow, ci, cj, tccT, cw,
+            num_frames, num_points, hub, ftol, seg, cg_iters,
+            cg_tol, point_width, lam0=lam)
+        it_total += int(it)
+        if bool(done) or int(it) < seg or it_total >= max_iters:
+            return c, X, cost, it_total
 
 
 def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
@@ -568,9 +625,8 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
         # with the offsets enabled. (The reference instead anchors gauge by
         # pinning the first residual scale, global_positioning.cc:484-489.)
         u0 = jnp.zeros_like(uT)
-        c1, X1, _, _ = _solve_gp(c0, X0,
-                                 of, op, tT, u0, ow, ci, cj, tccT, cw,
-                                 *args_static)
+        c1, X1, _, _ = _solve_gp_segmented(
+            c0, X0, of, op, tT, u0, ow, ci, cj, tccT, cw, *args_static)
 
         # scale grid search on host (tiny; avoids tunnel round-trips)
         c1_np = np.asarray(c1, np.float64)
@@ -594,19 +650,18 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
         sg = float(grid[int(np.argmin(costs))])
         # graduated non-convexity: quadratic-ish pass first (large Huber
         # delta smooths the basin), then the robust refinement
-        c2, X2, _, _ = _solve_gp(sg * c1, sg * X1, of, op, tT, uT,
-                                 ow, ci, cj, tccT, cw,
-                                 num_frames, num_points_pad, 1e3,
-                                 float(opts.function_tolerance),
-                                 int(opts.max_num_iterations), 100,
-                                 float(opts.cg_relative_tolerance),
-                                 point_width)
-        c, X, cost, it = _solve_gp(c2, X2, of, op, tT, uT,
-                                   ow, ci, cj, tccT, cw, *args_static)
+        c2, X2, _, _ = _solve_gp_segmented(
+            sg * c1, sg * X1, of, op, tT, uT, ow, ci, cj, tccT, cw,
+            num_frames, num_points_pad, 1e3,
+            float(opts.function_tolerance),
+            int(opts.max_num_iterations),
+            int(opts.cg_max_iterations),
+            float(opts.cg_relative_tolerance), point_width)
+        c, X, cost, it = _solve_gp_segmented(
+            c2, X2, of, op, tT, uT, ow, ci, cj, tccT, cw, *args_static)
     else:
-        c, X, cost, it = _solve_gp(c0, X0,
-                                   of, op, tT, uT, ow, ci, cj, tccT,
-                                   cw, *args_static)
+        c, X, cost, it = _solve_gp_segmented(
+            c0, X0, of, op, tT, uT, ow, ci, cj, tccT, cw, *args_static)
 
     # ---- unknown cam_from_rig: alternate GP <-> sensor-center updates
     # (counterpart of RigUnknownBATAPairwiseDirectionError where the
@@ -625,8 +680,9 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
             cs, uT = _sensor_gn(c, X, of, op, tT, uT, ow, q_f_o, unk_o,
                                 o_sens, cs, num_sensors,
                                 float(opts.thres_loss_function))
-            c, X, cost, it = _solve_gp(c, X, of, op, tT, uT, ow,
-                                       ci, cj, tccT, cw, *args_static)
+            c, X, cost, it = _solve_gp_segmented(
+                c, X, of, op, tT, uT, ow, ci, cj, tccT, cw,
+                *args_static)
         # write back: sensor_from_rig translation t_s = -R_s c_s
         cs_np = np.asarray(cs, dtype=np.float64)
         unk_sensors = np.nonzero(~scene.sensor_known)[0]

@@ -67,8 +67,9 @@ def make_axis_ops(idx, n_seg: int, num_obs: int, dtype,
     if psum_axis is not None:
         reduce_local = reduce
 
-        def reduce(vals):
-            return jax.lax.psum(reduce_local(vals), psum_axis)
+        def reduce(vals, exact=False):
+            return jax.lax.psum(reduce_local(vals, exact=exact),
+                                psum_axis)
     return reduce, gather
 
 
@@ -88,8 +89,9 @@ def make_axis_pair_ops(idx, n_seg: int, num_obs: int, dtype,
     reduce_local, gather = _make_axis_ops_local(idx, n_seg, num_obs, dtype,
                                                 sorted_width, one_hot_budget)
     if psum_axis is not None:
-        def reduce(vals):
-            return jax.lax.psum(reduce_local(vals), psum_axis)
+        def reduce(vals, exact=False):
+            return jax.lax.psum(reduce_local(vals, exact=exact),
+                                psum_axis)
     else:
         reduce = reduce_local
     if sorted_width:
@@ -127,14 +129,25 @@ def make_axis_pair_ops(idx, n_seg: int, num_obs: int, dtype,
 
 def _make_axis_ops_local(idx, n_seg, num_obs, dtype, sorted_width,
                          one_hot_budget):
+    # `exact` on BOTH directions: one-hot contractions run on the MXU
+    # at bf16 by default, which rounds the f32 VALUE operand to ~3
+    # digits (the 0/1 one-hot side is exact either way). exact=True
+    # forces bf16x3 (Precision.HIGHEST — exact for f32). Measured
+    # consequence of a rounded REDUCTION: GP's gradient/moment sums at
+    # scene extent 50 floored LM at per-obs residual ~2.6e-3 = the bf16
+    # unit roundoff (cost 17 vs the fallback path's 6e-6, round 5).
+    # Value-critical once-per-iteration assemblies pass exact=True; the
+    # CG-loop matvecs keep exact=False (the forcing tolerance absorbs
+    # operator rounding; HIGHEST there cost ~10% — BENCH_NOTES r4).
     if sorted_width:
         from glomap_tpu.ops.pallas_kernels import (
             _on_tpu, sorted_segment_gather, sorted_segment_rowsum)
         interp = not _on_tpu()
 
-        def reduce(vals):
+        def reduce(vals, exact=False):
             return sorted_segment_rowsum(vals, idx, n_seg,
-                                         sorted_width, interpret=interp)
+                                         sorted_width, interpret=interp,
+                                         exact=exact)
 
         def gather(tab, exact=True):
             return sorted_segment_gather(tab, idx, sorted_width,
@@ -144,14 +157,17 @@ def _make_axis_ops_local(idx, n_seg, num_obs, dtype, sorted_width,
     if n_seg * num_obs <= one_hot_budget:
         onehot = jax.nn.one_hot(idx, n_seg, dtype=dtype)  # (O, n)
 
-        def reduce(vals):
-            return jnp.einsum("ko,on->nk", vals, onehot)
+        def reduce(vals, exact=False):
+            prec = jax.lax.Precision.HIGHEST if exact else None
+            return jnp.einsum("ko,on->nk", vals, onehot,
+                              precision=prec)
 
         def gather(tab, exact=True):
-            return jnp.einsum("nk,on->ko", tab, onehot)
+            prec = jax.lax.Precision.HIGHEST if exact else None
+            return jnp.einsum("nk,on->ko", tab, onehot, precision=prec)
         return reduce, gather
 
-    def reduce(vals):
+    def reduce(vals, exact=False):
         return jnp.stack(
             [jax.ops.segment_sum(vals[i], idx, num_segments=n_seg)
              for i in range(vals.shape[0])], axis=-1)

@@ -318,7 +318,8 @@ def _partitioned_ba_fn(mesh, axis: str, statics_items: tuple):
     def body(points, o_frame, o_cam, o_point, o_sensor, o_kind, o_uv, o_w,
              o_sq, o_st, fq, ft, cp, cam_kind, cam_T, frame_mask, sq, st,
              sm, cam_of_sensor):
-        fqo, fto, cpo, X, cost, it, sqo, sto, _cg = _solve_ba(
+        fqo, fto, cpo, X, cost, it, sqo, sto, _cg, _lam, _done = \
+            _solve_ba(
             fq, ft, cp, points[0],
             o_frame[0], o_cam[0], o_point[0], o_sq[0], o_st[0],
             o_kind[0], o_uv[0], cam_T, o_w[0], frame_mask,

@@ -134,7 +134,7 @@ class PartitionedGP:
         fn = self._fn_cache.get(key)
         if fn is None:
             def body(c0_l, X0_l, of, op, tT, uT, ow, ci, cj, tccT, cw):
-                c, X, cost, it = _solve_gp(
+                c, X, cost, it, _lam, _done = _solve_gp(
                     c0_l, X0_l[0], of[0], op[0], tT[0], uT[0], ow[0],
                     ci[0], cj[0], tccT[0], cw[0],
                     self.num_frames, self.Tmax,

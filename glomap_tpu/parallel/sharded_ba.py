@@ -129,7 +129,7 @@ def solve_ba_sharded(scene: Scene, tracks: Tracks, mesh=None,
     obs_sharded = {k: meshmod.shard_obs(mesh, v) for k, v in obs.items()}
     params_repl = {k: meshmod.replicate(mesh, v) for k, v in params.items()}
 
-    fq, ft, cp, X, cost, it, _, _, _ = _solve_ba(
+    fq, ft, cp, X, cost, it, _, _, _, _, _ = _solve_ba(
         params_repl["frame_quat"], params_repl["frame_trans"],
         params_repl["cam_params"], params_repl["points"],
         obs_sharded["o_frame"], obs_sharded["o_cam"],

@@ -40,9 +40,15 @@ from glomap_tpu.scene.view_graph import (
     ViewGraph, CONFIG_CALIBRATED, CONFIG_UNCALIBRATED, CONFIG_PLANAR,
     CONFIG_PANORAMIC, CONFIG_PLANAR_OR_PANORAMIC)
 
+# max matches per sweep invocation: the (53, M) expansion table plus the
+# endpoint/score intermediates cost ~420 B/match of HBM peak — 12.6M
+# matches ~ 5 GB, safely inside the 16 GB v5e alongside the resident
+# keypoint/feature tables (the 47.7M-match single shot needed 20.4 GB)
+_SWEEP_CHUNK_MATCHES = 12 << 20
+
 
 @partial(jax.jit, static_argnames=("num_pairs", "num_matches",
-                                   "mp_width"))
+                                   "mp_width", "chunked"))
 def _score_matches(num_pairs, num_matches,
                    # per-pair arrays
                    config, pair_q, pair_t, pair_F, pair_H, pair_valid,
@@ -55,7 +61,14 @@ def _score_matches(num_pairs, num_matches,
                    thres_E, thres_F, thres_H,
                    # static max pair-id span of any 2048-match block
                    # (matches are pair-sorted; 0 = composed gathers)
-                   mp_width: int = 0):
+                   mp_width: int = 0,
+                   # chunked mode: the per-pair/per-match inputs are the
+                   # FULL (padded) arrays and (p0, m0) select a
+                   # pair-aligned window of num_pairs pairs / num_matches
+                   # matches — every chunk shares ONE compiled graph
+                   # (the monolithic sweep at 47.7M matches allocated a
+                   # 9.9 GB (53, M) table and OOM'd the 16 GB chip)
+                   chunked: bool = False, p0=None, m0=None):
     """Returns (packed match_inlier bits, pair_num_inliers, pair_score).
 
     Keypoints stay device-resident (3/2, K); per-match data comes from
@@ -76,6 +89,24 @@ def _score_matches(num_pairs, num_matches,
                                                sorted_segment_rowsum)
     use_sorted = mp_width > 0 and _on_tpu()
     dtype = kp_rayT.dtype
+
+    if chunked:
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, p0, num_pairs, 0)
+        (config, pair_q, pair_t, pair_F, pair_H, pair_valid, focal1,
+         focal2, pair_i, pair_j) = (
+            sl(config), sl(pair_q), sl(pair_t), sl(pair_F), sl(pair_H),
+            sl(pair_valid), sl(focal1), sl(focal2), sl(pair_i),
+            sl(pair_j))
+        # local CSR: chunk starts at a pair boundary so offsets[p0] ==
+        # m0 exactly; pad pairs carry the repeated last offset -> empty
+        # segments; pad MATCH rows (>= the clipped last offset) get
+        # segment id >= num_pairs and drop out of every reduction
+        # (segment_ids_from_offsets' searchsorted-parity semantics)
+        offsets = jnp.clip(
+            jax.lax.dynamic_slice_in_dim(offsets, p0, num_pairs + 1, 0)
+            - m0, 0, num_matches)
+        f1c = jax.lax.dynamic_slice_in_dim(f1c, m0, num_matches, 0)
+        f2c = jax.lax.dynamic_slice_in_dim(f2c, m0, num_matches, 0)
 
     # lengths -> segment ids WITHOUT searchsorted (836 ms for the
     # vectorized binary search over 8.3M needles vs 27 ms for the
@@ -293,24 +324,79 @@ def image_pairs_inlier_count(scene: Scene, vg: ViewGraph,
 
     from glomap_tpu.ops.pallas_kernels import block_width_for_sorted
     mp_width = block_width_for_sorted(vg.match_pair)
-    packed, n_inl, score = _score_matches(
-        vg.num_pairs, vg.num_matches,
-        jnp.asarray(vg.pair_config), jnp.asarray(vg.pair_quat),
-        jnp.asarray(vg.pair_trans), jnp.asarray(vg.pair_F),
-        jnp.asarray(vg.pair_H), jnp.asarray(vg.pair_valid),
-        jnp.asarray(np.asarray(f1)), jnp.asarray(np.asarray(f2)),
-        jnp.asarray(vg.pair_match_offset), jnp.asarray(vg.pair_i),
-        jnp.asarray(vg.pair_j), jnp.asarray(scene.kp_offset),
-        f1d, f2d,
-        kp_rayT, kp_xyT,
-        float(opts.max_epipolar_error_E), float(opts.max_epipolar_error_F),
-        float(opts.max_epipolar_error_H), mp_width=mp_width)
-
-    _t2 = _time.monotonic()
-    vg.match_inlier = np.unpackbits(
-        np.asarray(packed), count=vg.num_matches).astype(bool)
-    vg.pair_num_inliers = np.array(n_inl, dtype=np.int64, copy=True)
-    out = np.array(score, dtype=np.float64, copy=True)
+    thrs = (float(opts.max_epipolar_error_E),
+            float(opts.max_epipolar_error_F),
+            float(opts.max_epipolar_error_H))
+    if vg.num_matches <= _SWEEP_CHUNK_MATCHES:
+        packed, n_inl, score = _score_matches(
+            vg.num_pairs, vg.num_matches,
+            jnp.asarray(vg.pair_config), jnp.asarray(vg.pair_quat),
+            jnp.asarray(vg.pair_trans), jnp.asarray(vg.pair_F),
+            jnp.asarray(vg.pair_H), jnp.asarray(vg.pair_valid),
+            jnp.asarray(np.asarray(f1)), jnp.asarray(np.asarray(f2)),
+            jnp.asarray(vg.pair_match_offset), jnp.asarray(vg.pair_i),
+            jnp.asarray(vg.pair_j), jnp.asarray(scene.kp_offset),
+            f1d, f2d,
+            kp_rayT, kp_xyT, *thrs, mp_width=mp_width)
+        _t2 = _time.monotonic()
+        inlier = np.unpackbits(
+            np.asarray(packed), count=vg.num_matches).astype(bool)
+        n_inl_np = np.array(n_inl, dtype=np.int64, copy=True)
+        out = np.array(score, dtype=np.float64, copy=True)
+    else:
+        # pair-aligned chunks through ONE compiled graph: the monolithic
+        # sweep materializes (53, M) + endpoint tables and OOMs the
+        # 16 GB chip near ~30M matches (measured 20.4 GB at 47.7M)
+        M_c = _SWEEP_CHUNK_MATCHES
+        off = vg.pair_match_offset
+        bounds = [0]
+        while off[bounds[-1]] < vg.num_matches:
+            nxt = int(np.searchsorted(off, off[bounds[-1]] + M_c,
+                                      side="right")) - 1
+            if nxt <= bounds[-1]:
+                raise ValueError(
+                    f"pair {bounds[-1]} has more than {M_c} matches")
+            bounds.append(min(nxt, vg.num_pairs))
+        from glomap_tpu.utils.padding import bucket_size
+        P_cap = bucket_size(max(int(np.diff(bounds).max()), 1), 64)
+        padP = lambda a: jnp.asarray(np.pad(
+            np.asarray(a), [(0, P_cap)] + [(0, 0)] * (a.ndim - 1)))
+        d_cfg, d_q, d_t = (padP(vg.pair_config), padP(vg.pair_quat),
+                           padP(vg.pair_trans))
+        d_F, d_H = padP(vg.pair_F), padP(vg.pair_H)
+        d_val = padP(vg.pair_valid)
+        d_f1m = padP(np.asarray(f1))
+        d_f2m = padP(np.asarray(f2))
+        d_pi, d_pj = padP(vg.pair_i), padP(vg.pair_j)
+        d_off = jnp.asarray(np.pad(off, (0, P_cap), mode="edge"))
+        zpad = jnp.zeros((M_c,), f1d.dtype)
+        f1d_p = jnp.concatenate([f1d, zpad])
+        f2d_p = jnp.concatenate([f2d, zpad])
+        kp_off_d = jnp.asarray(scene.kp_offset)
+        outs = []
+        for k in range(len(bounds) - 1):
+            p0, p1 = bounds[k], bounds[k + 1]
+            m0 = int(off[p0])
+            outs.append(_score_matches(
+                P_cap, M_c, d_cfg, d_q, d_t, d_F, d_H, d_val,
+                d_f1m, d_f2m, d_off, d_pi, d_pj, kp_off_d,
+                f1d_p, f2d_p, kp_rayT, kp_xyT, *thrs,
+                mp_width=mp_width, chunked=True,
+                p0=jnp.asarray(p0, jnp.int32),
+                m0=jnp.asarray(m0, jnp.int32)))
+        _t2 = _time.monotonic()
+        inlier = np.empty(vg.num_matches, dtype=bool)
+        n_inl_np = np.empty(vg.num_pairs, dtype=np.int64)
+        out = np.empty(vg.num_pairs, dtype=np.float64)
+        for k, (packed, n_inl, score) in enumerate(outs):
+            p0, p1 = bounds[k], bounds[k + 1]
+            m0, m1 = int(off[p0]), int(off[p1])
+            bits = np.unpackbits(np.asarray(packed), count=M_c)
+            inlier[m0:m1] = bits[:m1 - m0]
+            n_inl_np[p0:p1] = np.asarray(n_inl)[:p1 - p0]
+            out[p0:p1] = np.asarray(score)[:p1 - p0]
+    vg.match_inlier = inlier
+    vg.pair_num_inliers = n_inl_np
     logging.getLogger(__name__).debug(
         "inlier sweep: upload-join %.2fs, dispatch %.2fs, pull %.2fs",
         _t1 - _t0, _t2 - _t1, _time.monotonic() - _t2)

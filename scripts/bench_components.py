@@ -161,7 +161,7 @@ def main():
     T = len(d["gp_X0"])
 
     def run_gp():
-        c, X, cost, it = _solve_gp(c0, X0, gp_frame, gp_point, tT, uT, ow,
+        c, X, cost, it, _lam, _done = _solve_gp(c0, X0, gp_frame, gp_point, tT, uT, ow,
                                    e0, e0, eT, ew, Fg, T, 0.1, 0.0, 30,
                                    100, point_width=pw)
         float(cost)

@@ -101,7 +101,7 @@ def main():
     n_obs = int(gp_frame.shape[0])
 
     def run():
-        c, X, cost, it = _solve_gp(c0, X0, gp_frame, gp_point, tT, uT, ow,
+        c, X, cost, it, _lam, _done = _solve_gp(c0, X0, gp_frame, gp_point, tT, uT, ow,
                                    e0, e0, eT, ew, Fg, T, 0.1, 0.0,
                                    args.iters, args.cg_iters, point_width=pw)
         return float(cost), int(it)

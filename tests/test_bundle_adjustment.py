@@ -200,3 +200,73 @@ def test_ba_cg_forcing_tolerance_accuracy():
     # and the mutual solution difference stays far below the noise scale
     d = np.linalg.norm(s_loose.frame_trans - s_tight.frame_trans, axis=-1)
     assert d.max() < 1e-2
+
+
+def test_segmented_ba_matches_single_call():
+    """Host-segmented BA (bounded-duration device calls with carried LM
+    damping — the tunneled chip kills single XLA executions >~60-90 s)
+    must reach the same optimum as the single-call path."""
+    import glomap_tpu.estimators.bundle_adjustment as ba
+    from glomap_tpu.config import BundleAdjusterOptions
+    from glomap_tpu.estimators.bundle_adjustment import (
+        solve_bundle_adjustment)
+    from glomap_tpu.controllers.track_establishment import (
+        establish_full_tracks, find_tracks_for_problem)
+    from glomap_tpu.ops.triangulation import triangulate_tracks
+    from glomap_tpu.processors.undistortion import undistort_images
+    from glomap_tpu.utils.synthetic import (SyntheticOptions,
+                                            synthesize_dataset)
+    import copy
+
+    scene, vg, gt = synthesize_dataset(SyntheticOptions(
+        num_frames_per_rig=12, num_points3D=150, seed=21,
+        point2D_stddev=0.5))
+    undistort_images(scene)
+    tracks = find_tracks_for_problem(scene, establish_full_tracks(scene, vg))
+    triangulate_tracks(scene, tracks)
+    s1, t1 = copy.deepcopy(scene), tracks.copy()
+    s2, t2 = copy.deepcopy(scene), tracks.copy()
+    opts = BundleAdjusterOptions()
+    opts.max_num_iterations = 40
+    assert solve_bundle_adjustment(s1, t1, opts)
+    old = ba._SEGMENT_TARGET_S
+    try:
+        ba._SEGMENT_TARGET_S = 1e-9  # force seg = 5 -> several segments
+        assert solve_bundle_adjustment(s2, t2, opts)
+    finally:
+        ba._SEGMENT_TARGET_S = old
+    # same optimum (paths may differ at segment boundaries)
+    d = np.linalg.norm(s1.frame_trans - s2.frame_trans, axis=-1)
+    assert d.max() < 1e-3, d.max()
+    np.testing.assert_allclose(t1.xyz, t2.xyz, atol=1e-3)
+
+
+def test_segmented_gp_matches_single_call():
+    """Same bounded-duration segmentation for global positioning."""
+    import glomap_tpu.estimators.global_positioning as gp
+    from glomap_tpu.config import GlobalPositionerOptions
+    from glomap_tpu.estimators.global_positioning import (
+        solve_global_positioning)
+    from glomap_tpu.controllers.track_establishment import (
+        establish_full_tracks, find_tracks_for_problem)
+    from glomap_tpu.processors.undistortion import undistort_images
+    from glomap_tpu.utils.synthetic import (SyntheticOptions,
+                                            synthesize_dataset)
+    import copy
+
+    scene, vg, gt = synthesize_dataset(SyntheticOptions(
+        num_frames_per_rig=12, num_points3D=150, seed=22))
+    undistort_images(scene)
+    tracks = find_tracks_for_problem(scene, establish_full_tracks(scene, vg))
+    s1, t1 = copy.deepcopy(scene), tracks.copy()
+    s2, t2 = copy.deepcopy(scene), tracks.copy()
+    assert solve_global_positioning(s1, vg, t1, GlobalPositionerOptions())
+    old = gp._SEGMENT_TARGET_S
+    try:
+        gp._SEGMENT_TARGET_S = 1e-9
+        assert solve_global_positioning(s2, vg, t2,
+                                        GlobalPositionerOptions())
+    finally:
+        gp._SEGMENT_TARGET_S = old
+    d = np.linalg.norm(s1.frame_centers() - s2.frame_centers(), axis=-1)
+    assert d.max() < 1e-2, d.max()

@@ -142,3 +142,33 @@ def test_pairs_with_too_few_matches_skip_hypothesis_loop():
                             RelPoseEstimationOptions(num_hypotheses=256))
     assert vg._relpose_budget[p_small] == 0
     assert (vg._relpose_budget[1:] > 0).all()
+
+
+def test_inlier_sweep_chunked_matches_single_shot():
+    """The chunked sweep (pair-aligned windows through one compiled
+    graph — the 47.7M-match monolithic sweep OOM'd the 16 GB chip) must
+    reproduce the single-shot classification bit-for-bit."""
+    import copy
+    import glomap_tpu.processors.pair_inliers as pi
+    from glomap_tpu.processors.undistortion import undistort_images
+    from glomap_tpu.utils.synthetic import (SequentialCaptureOptions,
+                                            synthesize_sequential_dataset)
+
+    scene, vg, gt = synthesize_sequential_dataset(SequentialCaptureOptions(
+        num_frames=40, num_points3D=2000, max_kp_per_image=400,
+        point2D_stddev=0.5, inlier_match_ratio=0.85, seed=6))
+    undistort_images(scene)
+    vg1 = copy.deepcopy(vg)
+    s1 = pi.image_pairs_inlier_count(scene, vg1)
+    vg2 = copy.deepcopy(vg)
+    old = pi._SWEEP_CHUNK_MATCHES
+    try:
+        pi._SWEEP_CHUNK_MATCHES = 12000  # force several chunks
+        s2 = pi.image_pairs_inlier_count(scene, vg2)
+    finally:
+        pi._SWEEP_CHUNK_MATCHES = old
+    assert vg.num_matches > 36000  # actually chunked
+    np.testing.assert_array_equal(vg1.match_inlier, vg2.match_inlier)
+    np.testing.assert_array_equal(vg1.pair_num_inliers,
+                                  vg2.pair_num_inliers)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-9)
