@@ -203,6 +203,13 @@ class GlobalMapper:
                 scene, tracks,
                 10 * opt.inlier_thresholds.max_reprojection_error)
             normalize_reconstruction(scene, tracks)
+            # GP random-init death spiral: a frame LM never pulled in
+            # fails every filter above and ends obs-less; re-position it
+            # from its neighbor pair directions so stage-7 completion
+            # can recover its observations
+            from glomap_tpu.estimators.global_positioning import (
+                rescue_unplaced_frames)
+            rescue_unplaced_frames(scene, view_graph, tracks)
 
         ckpt(5)
 
@@ -320,6 +327,13 @@ class GlobalMapper:
                 scene, tracks, opt.inlier_thresholds.min_triangulation_angle)
 
         ckpt(7)
+
+        # frames that end with zero valid observations carry no
+        # geometric support — drop them from the output instead of
+        # writing a junk pose (estimators/global_positioning.py)
+        from glomap_tpu.estimators.global_positioning import (
+            deregister_unsupported_frames)
+        deregister_unsupported_frames(scene, tracks)
 
         # 8. Pruning
         if start_stage <= 8 and not opt.skip_pruning:

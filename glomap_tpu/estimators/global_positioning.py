@@ -438,6 +438,8 @@ def _solve_gp_segmented(c, X, of, op, tT, uT, ow, ci, cj, tccT, cw,
             num_frames, num_points, hub, ftol, seg, cg_iters,
             cg_tol, point_width, lam0=lam)
         it_total += int(it)
+        logger.debug("GP segment: %d iters (total %d/%d), cost %.4e",
+                     int(it), it_total, max_iters, float(cost))
         if bool(done) or int(it) < seg or it_total >= max_iters:
             return c, X, cost, it_total
 
@@ -693,6 +695,8 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
 
     c = np.asarray(c, dtype=np.float64)
     X = np.asarray(X, dtype=np.float64)
+    logger.info("GP solve: %d LM iters, cost %.4e (%d obs)",
+                int(it), float(cost), n_obs)
     if not (np.all(np.isfinite(c)) and np.all(np.isfinite(X))):
         return False
 
@@ -706,3 +710,114 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
             # (the reference leaves them for downstream reproj filters)
             tracks.valid &= track_ok
     return True
+
+
+def rescue_unplaced_frames(scene: Scene, vg: ViewGraph, tracks,
+                           min_valid_obs: int = 1,
+                           max_outlier_frac: float = 0.5) -> int:
+    """Re-position registered frames that lost (almost) every valid
+    observation — the GP random-init death spiral: a frame LM never
+    pulled in from its [-100,100]^3 init fails every reprojection/angle
+    filter, ends with zero valid observations, and nothing downstream
+    can recover it (completion only re-validates obs that ALREADY
+    reproject near the current pose). Measured round 5: exactly one such
+    frame out of 800 floated to radius ~1900 and wrecked the Sim3
+    alignment of an otherwise p99=0.155-accurate model.
+
+    The rescue solves the frame center from its VALID view-graph pairs
+    with all neighbor centers held fixed (the camera-to-camera BATA
+    geometry, global_positioning.cc:167-214): c minimizes
+    sum_k w_k |P_k (c - a_k)|^2 over neighbor rays (a_k, u_k), with
+    Huber IRLS on the perpendicular distance. Host numpy — the frame
+    count here is ~0-3 per scene. Returns #frames rescued."""
+    if tracks.num_obs == 0 or vg.num_pairs == 0:
+        return 0
+    ob = tracks.obs_valid & tracks.valid[tracks.obs_track]
+    cnt = np.bincount(scene.image_frame[tracks.obs_image[ob]],
+                      minlength=scene.num_frames)
+    lost = np.nonzero(scene.frame_registered & (cnt < min_valid_obs))[0]
+    if len(lost) == 0:
+        return 0
+    centers = scene.frame_centers()
+    img_frame = scene.image_frame
+    q_img, _ = scene.image_cam_from_world()
+    n = 0
+    lost_set = set(lost.tolist())
+    for f in lost:
+        inc = vg.pair_valid & (
+            (img_frame[vg.pair_i] == f) | (img_frame[vg.pair_j] == f))
+        idx = np.nonzero(inc)[0]
+        if len(idx) < 2:
+            continue
+        i_im, j_im = vg.pair_i[idx], vg.pair_j[idx]
+        f_is_j = img_frame[j_im] == f
+        nb_im = np.where(f_is_j, i_im, j_im)
+        nb_f = img_frame[nb_im]
+        # neighbors must themselves be placed
+        good_nb = np.asarray([int(g) not in lost_set for g in nb_f])
+        if good_nb.sum() < 2:
+            continue
+        idx, nb_im, f_is_j = idx[good_nb], nb_im[good_nb], f_is_j[good_nb]
+        # world direction from c_i toward c_j: -(R_j^T t_rel)
+        qj = q_img[vg.pair_j[idx]]
+        t_w = -rotm.quat_rotate(rotm.quat_conj(qj), vg.pair_trans[idx])
+        nrm = np.linalg.norm(t_w, axis=-1, keepdims=True)
+        ok = nrm[:, 0] > 1e-12
+        if ok.sum() < 2:
+            continue
+        u = np.where(f_is_j[:, None], 1.0, -1.0)[ok] * (t_w / nrm)[ok]
+        a = centers[img_frame[nb_im[ok]]]
+        # Huber-IRLS point-to-ray LS
+        c = a.mean(0)
+        scale = np.median(np.linalg.norm(a - c, axis=-1)) + 1e-9
+        delta = 0.1 * scale
+        w = np.ones(len(a))
+        eye = np.eye(3)
+        for _ in range(20):
+            P = eye[None] - u[:, :, None] * u[:, None, :]
+            A = np.einsum("k,kij->ij", w, P) + 1e-9 * eye
+            b = np.einsum("k,kij,kj->i", w, P, a)
+            c_new = np.linalg.solve(A, b)
+            r = np.linalg.norm(np.einsum("kij,kj->ki", P, c_new - a),
+                               axis=-1)
+            w = np.where(r <= delta, 1.0, delta / np.maximum(r, 1e-12))
+            if np.linalg.norm(c_new - c) < 1e-9 * scale:
+                c = c_new
+                break
+            c = c_new
+        # sanity: a majority of rays must agree with the solution
+        if (r > 3 * delta).mean() > max_outlier_frac:
+            continue
+        scene.frame_trans[f] = -rotm.quat_rotate(scene.frame_quat[f],
+                                                 c)[..., :]
+        n += 1
+        logger.info("Rescued unplaced frame %d from %d neighbor rays "
+                    "(residual p90 %.3g)", int(f), len(a),
+                    float(np.percentile(r, 90)))
+    return n
+
+
+def deregister_unsupported_frames(scene: Scene, tracks) -> int:
+    """Unregister frames that end the pipeline with zero valid
+    observations: they carry no geometric support, and ONE such frame
+    left at a garbage position dominates any least-squares model
+    alignment (and would be written to the output model as a junk pose).
+    The reference keeps them registered and relies on the off-by-default
+    pruning stage; deregistering is the honest output contract — colmap
+    simply does not write unregistered images. Returns #deregistered."""
+    if scene.num_frames == 0:
+        return 0
+    if tracks.num_obs:
+        ob = tracks.obs_valid & tracks.valid[tracks.obs_track]
+        cnt = np.bincount(scene.image_frame[tracks.obs_image[ob]],
+                          minlength=scene.num_frames)
+    else:
+        cnt = np.zeros(scene.num_frames, dtype=np.int64)
+    drop = scene.frame_registered & (cnt == 0)
+    n = int(drop.sum())
+    if n:
+        scene.frame_registered[drop] = False
+        logger.warning(
+            "Deregistered %d frames with no valid observations: %s",
+            n, np.nonzero(drop)[0].tolist()[:20])
+    return n

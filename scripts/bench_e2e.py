@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--capture", choices=("ring", "sequential"),
                     default="ring")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--save-out", default="",
+                    help="write the final scene+tracks checkpoint here "
+                         "for post-run accuracy analysis")
     ap.add_argument("--prepare", action="store_true")
     args = ap.parse_args()
 
@@ -132,6 +135,13 @@ def main():
         total = time.time() - t0
         assert tracks is not None
         print(f"# run {run}: {total:.1f}s", file=sys.stderr)
+
+    if args.save_out:
+        from glomap_tpu.io.checkpoint import save_checkpoint
+        save_checkpoint(args.save_out, scene, vg, tracks=tracks,
+                        gt_frame_quat=extra["gt_frame_quat"],
+                        gt_frame_trans=extra["gt_frame_trans"])
+        print(f"# saved final state to {args.save_out}", file=sys.stderr)
 
     reg = scene.frame_registered
     est_c = scene.frame_centers()[reg]

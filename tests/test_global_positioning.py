@@ -184,3 +184,49 @@ def test_points_and_cameras_balanced_reweighting(caplog):
               if "Point-to-camera weight scaled" in r.message]
     want = 2.0 * n_cc / tracks.num_tracks
     assert scaled and abs(float(scaled[0].args[0]) - want) < 1e-9
+
+
+def test_rescue_unplaced_frame_and_deregistration():
+    """A frame that lost every valid observation (the GP random-init
+    death spiral seen at 800 images) is re-positioned from its neighbor
+    pair directions; frames that cannot be rescued are deregistered at
+    the end of the pipeline instead of shipping a junk pose."""
+    from glomap_tpu.estimators.global_positioning import (
+        deregister_unsupported_frames, rescue_unplaced_frames)
+    scene, vg, tracks, gt = _prepare(
+        SyntheticOptions(num_frames_per_rig=15, num_points3D=200, seed=23))
+    assert solve_global_positioning(scene, vg, tracks)
+    # sabotage frame 7: garbage center, all observations masked
+    f = 7
+    true_center = scene.frame_centers()[f].copy()
+    import glomap_tpu.math.rotation as rotm_
+    scene.frame_trans[f] = -np.asarray(rotm_.quat_rotate(
+        scene.frame_quat[f], np.asarray([500.0, -300.0, 800.0])))
+    cut = scene.image_frame[tracks.obs_image] == f
+    tracks.obs_valid[cut] = False
+
+    n = rescue_unplaced_frames(scene, vg, tracks)
+    assert n == 1
+    err = np.linalg.norm(scene.frame_centers()[f] - true_center)
+    # pair directions are exact on this synthetic scene
+    assert err < 0.05, err
+
+    # an unrescuable frame (no valid pairs) gets deregistered
+    f2 = 11
+    cut2 = scene.image_frame[tracks.obs_image] == f2
+    tracks.obs_valid[cut2] = False
+    imgs2 = np.nonzero(scene.image_frame == f2)[0]
+    vg.pair_valid &= ~(np.isin(vg.pair_i, imgs2) |
+                       np.isin(vg.pair_j, imgs2))
+    c2_before = scene.frame_centers()[f2].copy()
+    # frame 7 (pairs intact, obs still masked) is re-rescued
+    # idempotently; f2 has no valid pairs and cannot be
+    assert rescue_unplaced_frames(scene, vg, tracks) == 1
+    np.testing.assert_allclose(scene.frame_centers()[f2], c2_before)
+    # both frames still have zero valid obs here (the mapper only
+    # deregisters AFTER stage-7 completion re-validated observations of
+    # rescued frames) -> both get dropped in this synthetic sequence
+    n_drop = deregister_unsupported_frames(scene, tracks)
+    assert n_drop == 2
+    assert not scene.frame_registered[f2]
+    assert not scene.frame_registered[f]
