@@ -171,9 +171,25 @@ def _ransac_rounds(key, tab, mask, counts, sq_thres, init_E, init_cnt,
 
     def one_round(carry, rkey):
         best_E, best_cnt = carry
-        u = jax.random.randint(rkey, (P, hyp_per_round * 8), 0,
+        # DISTINCT 8-sample minimal sets via a random arithmetic
+        # progression modulo the pair's distinct-slot count: 8
+        # independent draws from a small pair (e.g. 30 matches behind
+        # the 512 with-replacement slots) collide with ~60% probability
+        # and a duplicated correspondence makes the 8-point system
+        # degenerate — measured on the 800-image capture, the small-pair
+        # tail burned toward the full 50k budget on wasted hypotheses.
+        # {b + k*s mod n} is collision-free unless n/gcd(n, s) <= 7
+        # (rare for random s; such hypotheses just degenerate as
+        # before). The table is filled CYCLICALLY for pairs with
+        # total <= cap so slot index == match index (estimate_...).
+        u = jax.random.randint(rkey, (P, 2, hyp_per_round), 0,
                                jnp.int32(2 ** 30))
-        idx = u % jnp.maximum(counts, 1)[:, None].astype(jnp.int32)
+        n = jnp.maximum(counts, 1)[:, None].astype(jnp.int32)  # (P, 1)
+        b = u[:, 0] % n
+        step = 1 + u[:, 1] % jnp.maximum(n - 1, 1)
+        k8 = jnp.arange(8, dtype=jnp.int32)[None, :, None]
+        idx = ((b[:, None, :] + k8 * step[:, None, :])
+               % n[:, :, None]).reshape(P, 8 * hyp_per_round)
 
         # samples laid out (P, 8, H): the HYPOTHESIS axis rides the
         # 128-lane minor dim, so every per-(pair, hypothesis) scalar of
@@ -397,10 +413,18 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     total = np.diff(vg.pair_match_offset)
     # every table slot of a non-empty pair holds a sample, so the valid
     # slot count (sampling range + stopping-ratio denominator) is cap
-    counts = np.where(total > 0, cap, 0).astype(np.int32)
-    sel = (vg.pair_match_offset[:-1, None] +
-           (rng_np.random((P, cap)) *
-            np.maximum(total, 1)[:, None]).astype(np.int64))
+    # counts = the DISTINCT-slot span for the progression sampler (the
+    # first min(total, cap) slots hold distinct matches); the stopping
+    # ratio denominator stays cap (every slot is filled and scored)
+    counts = np.where(total > 0, np.minimum(total, cap), 0).astype(
+        np.int32)
+    ar = np.arange(cap, dtype=np.int64)[None, :]
+    sel_cyc = vg.pair_match_offset[:-1, None] + \
+        ar % np.maximum(total, 1)[:, None]
+    sel_rand = (vg.pair_match_offset[:-1, None] +
+                (rng_np.random((P, cap)) *
+                 np.maximum(total, 1)[:, None]).astype(np.int64))
+    sel = np.where((total <= cap)[:, None], sel_cyc, sel_rand)
     # compact upload: (P, cap) uint16 feature ids + (P,) int32 bases +
     # (P,) valid rows — the old int32 global-index/mask tables were
     # 22.5 MB of BLOCKING jnp.asarray transfer racing the 33 MB
@@ -499,7 +523,10 @@ def estimate_relative_poses(scene: Scene, vg: ViewGraph,
     _t0 = _time.time()
     best_E = jnp.zeros((P + 1, 3, 3), dtype)
     best_cnt = jnp.zeros((P + 1,), jnp.int32)
-    counts_f = np.maximum(counts.astype(np.float64), 1.0)
+    # ratio denominator: all cap slots are filled and scored for any
+    # non-empty pair (cyclic fill repeats matches; the slot-inlier
+    # fraction stays an unbiased estimate of the pair's inlier ratio)
+    counts_f = np.where(total > 0, float(cap), 1.0)
     # only pairs that can yield a result enter the hypothesis loop:
     # invalid pairs (all-false mask => inlier count pinned at 0 =>
     # stopping number inf) would otherwise burn the full 50k budget on

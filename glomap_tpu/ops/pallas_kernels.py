@@ -449,6 +449,16 @@ def sorted_segment_rowsum(vals, ids, num_segments: int, width: int,
         vals = jnp.pad(vals, ((0, 0), (0, pad)))
     nb = (O + pad) // block
 
+    if _ACCUM_POSTLUDE:
+        w2 = ((width + 127) // 128) * 128 + 128
+        return _accum_call(
+            partial(_sorted_seg_accum_kernel, w2=w2, exact=exact),
+            partial(_sorted_seg_vmem_kernel, w2=w2, exact=exact),
+            [vals],
+            [pl.BlockSpec((k, block), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)],
+            ids, num_segments, width, block, k, dtype, interpret)
+
     parts = pl.pallas_call(
         partial(_sorted_seg_kernel, exact=exact),
         grid=(nb,),
@@ -567,6 +577,150 @@ def block_width_for_sorted(ids: np.ndarray, block: int = 2048) -> int:
     return b
 
 
+# Accumulating postlude: instead of emitting (num_blocks, width, k)
+# partials + an XLA scatter-add (profiled at 34% of the 10M-obs BA step
+# at ~1 GB/s — the slowest op class on TPU), each grid step
+# read-modify-writes its segment window of the FULL output directly.
+# TPU Pallas grids execute sequentially on one core and every DMA below
+# is waited before the next issues, so cross-block accumulation into
+# overlapping windows is race-free. The output rides an aliased
+# pre-zeroed input in ANY memory space; window row offsets round down
+# to the 8-row sublane tile (w2 = width + 8 slack).
+_ACCUM_POSTLUDE = True
+# accumulator tables at most this big stay RESIDENT IN VMEM across grid
+# steps (out block constant -> Mosaic keeps it on-chip, zero DMA); bigger
+# tables use the windowed HBM read-modify-write. The RMW chain serializes
+# grid steps on DMA round-trips: a +51% win at 10M obs / 1M segments
+# (where it deletes a 34%-of-step scatter) but a 3.6x LOSS on GP's small
+# 100k-segment tables — measured round 5.
+_VMEM_TABLE_BYTES = 8 << 20
+
+
+def _seg_accum_body(ids_ref, out_ref, prod, *, w2, exact):
+    # out_ref is (k, S_pad): the segment axis rides the LANES so the
+    # dynamic window offset can satisfy Mosaic's 128-aligned-slice rule
+    # (rounded down with 128 slack, like the gather kernel)
+    ids = ids_ref[0, :]
+    start = pl.multiple_of((jnp.min(ids) // 128) * 128, 128)
+    k8 = out_ref.shape[0]  # k padded to the 8-row sublane tile
+    if prod.shape[0] < k8:  # zero rows keep the DMA slice tile-aligned
+        prod = jnp.concatenate(
+            [prod, jnp.zeros((k8 - prod.shape[0], prod.shape[1]),
+                             prod.dtype)])
+
+    def body(scratch, sem):
+        dma_r = pltpu.make_async_copy(out_ref.at[:, pl.ds(start, w2)],
+                                      scratch, sem)
+        dma_r.start()
+        dma_r.wait()
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (w2, ids.shape[0]), 0)
+              + start) == ids[None, :]
+        scratch[...] += jax.lax.dot_general(
+            prod, oh.astype(prod.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=prod.dtype,
+            precision=(jax.lax.Precision.HIGHEST if exact else None))
+        dma_w = pltpu.make_async_copy(scratch,
+                                      out_ref.at[:, pl.ds(start, w2)],
+                                      sem)
+        dma_w.start()
+        dma_w.wait()
+
+    pl.run_scoped(body,
+                  scratch=pltpu.VMEM((k8, w2), prod.dtype),
+                  sem=pltpu.SemaphoreType.DMA(()))
+
+
+def _sorted_seg_accum_kernel(ids_ref, vals_ref, _zeros_ref, out_ref, *,
+                             w2, exact):
+    _seg_accum_body(ids_ref, out_ref, vals_ref[...], w2=w2, exact=exact)
+
+
+def _seg_vmem_body(ids_ref, out_ref, prod, *, w2, exact):
+    # out_ref is the FULL (k8, S_pad) table in VMEM (constant out block:
+    # Mosaic keeps it resident and writes HBM once at grid end)
+    ids = ids_ref[0, :]
+    start = pl.multiple_of((jnp.min(ids) // 128) * 128, 128)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (w2, ids.shape[0]), 0)
+          + start) == ids[None, :]
+    local = jax.lax.dot_general(
+        prod, oh.astype(prod.dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=prod.dtype,
+        precision=(jax.lax.Precision.HIGHEST if exact else None))
+    k8 = out_ref.shape[0]
+    if local.shape[0] < k8:
+        local = jnp.concatenate(
+            [local, jnp.zeros((k8 - local.shape[0], w2), local.dtype)])
+    out_ref[:, pl.ds(start, w2)] += local
+
+
+def _sorted_seg_vmem_kernel(ids_ref, vals_ref, out_ref, *, w2, exact):
+    _seg_vmem_body(ids_ref, out_ref, vals_ref[...], w2=w2, exact=exact)
+
+
+def _pair_rowsum_vmem_kernel(ids_ref, U_ref, V_ref, out_ref, *, pairs,
+                             w2):
+    U = U_ref[...]
+    V = V_ref[...]
+    prod = jnp.stack([sum(U[a] * V[b] for a, b in terms)
+                      for terms in pairs])
+    _seg_vmem_body(ids_ref, out_ref, prod, w2=w2, exact=False)
+
+
+def _pair_rowsum_accum_kernel(ids_ref, U_ref, V_ref, _zeros_ref, out_ref,
+                              *, pairs, w2):
+    U = U_ref[...]
+    V = V_ref[...]
+    prod = jnp.stack([sum(U[a] * V[b] for a, b in terms)
+                      for terms in pairs])  # (R, B) in VMEM only
+    _seg_accum_body(ids_ref, out_ref, prod, w2=w2, exact=False)
+
+
+def _accum_call(kernel_rmw, kernel_vmem, extra_inputs, extra_specs, ids,
+                num_segments, width, block, k, dtype, interpret):
+    O = ids.shape[0]  # already block-padded by the caller
+    nb = O // block
+    # DMA/slice window: 128-multiple length covering width + up-to-127
+    # of round-down slack (Mosaic requires lane slices sized AND offset
+    # in whole 128 tiles)
+    w2 = ((width + 127) // 128) * 128 + 128
+    S_pad = num_segments + w2
+    k8 = -(-k // 8) * 8
+    if k8 * S_pad * dtype.itemsize <= _VMEM_TABLE_BYTES:
+        out = pl.pallas_call(
+            kernel_vmem,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((1, block), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)]
+            + extra_specs,
+            out_specs=pl.BlockSpec((k8, S_pad), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((k8, S_pad), dtype),
+            interpret=interpret,
+        )(ids.reshape(1, -1), *extra_inputs)
+        return out[:k, :num_segments].T
+    zeros = jnp.zeros((k8, S_pad), dtype)
+    out = pl.pallas_call(
+        kernel_rmw,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)]
+        + extra_specs
+        + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((k8, S_pad), dtype),
+        input_output_aliases={1 + len(extra_inputs): 0},
+        interpret=interpret,
+    )(ids.reshape(1, -1), *extra_inputs, zeros)
+    return out[:k, :num_segments].T
+
+
 # ----------------------------------------------------------------------------
 # fused pair-product windowed reductions (the BA CG inner loop)
 # ----------------------------------------------------------------------------
@@ -624,6 +778,19 @@ def sorted_segment_pair_rowsum(U, V, pairs, ids, num_segments: int,
         U = jnp.pad(U, ((0, 0), (0, pad)))
         V = jnp.pad(V, ((0, 0), (0, pad)))
     nb = (O + pad) // block
+
+    if _ACCUM_POSTLUDE:
+        nV = V.shape[0]
+        w2 = ((width + 127) // 128) * 128 + 128
+        return _accum_call(
+            partial(_pair_rowsum_accum_kernel, pairs=pairs, w2=w2),
+            partial(_pair_rowsum_vmem_kernel, pairs=pairs, w2=w2),
+            [U, V],
+            [pl.BlockSpec((ku, block), lambda i: (0, i),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((nV, block), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)],
+            ids, num_segments, width, block, R, dtype, interpret)
 
     parts = pl.pallas_call(
         partial(_pair_rowsum_kernel, pairs=pairs),
