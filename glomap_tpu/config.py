@@ -113,8 +113,11 @@ class GlobalPositionerOptions(OptimizationBase):
     # (same role as BundleAdjusterOptions.cg_relative_tolerance)
     cg_relative_tolerance: float = 1e-2
     # inner-PCG iteration cap per LM step (see
-    # BundleAdjusterOptions.cg_max_iterations)
-    cg_max_iterations: int = 100
+    # BundleAdjusterOptions.cg_max_iterations). 30 measured equal final
+    # cost to cap 100/300 at 10k frames / 1M obs while cutting the LM
+    # iteration wall ~1.7x (BENCH_NOTES round 5; the 1e-2 forcing
+    # tolerance governs solve quality, the cap only guards stragglers).
+    cg_max_iterations: int = 30
 
 
 @dataclass
