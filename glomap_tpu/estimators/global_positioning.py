@@ -788,8 +788,7 @@ def rescue_unplaced_frames(scene: Scene, vg: ViewGraph, tracks,
         # sanity: a majority of rays must agree with the solution
         if (r > 3 * delta).mean() > max_outlier_frac:
             continue
-        scene.frame_trans[f] = -rotm.quat_rotate(scene.frame_quat[f],
-                                                 c)[..., :]
+        scene.frame_trans[f] = -rotm.quat_rotate(scene.frame_quat[f], c)
         n += 1
         logger.info("Rescued unplaced frame %d from %d neighbor rays "
                     "(residual p90 %.3g)", int(f), len(a),

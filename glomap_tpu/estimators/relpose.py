@@ -159,7 +159,9 @@ def _ransac_rounds(key, tab, mask, counts, sq_thres, init_E, init_cnt,
     """Core RANSAC scan: `rounds` x `hyp_per_round` fresh 8-point
     hypotheses per pair, folded into the running best.
 
-    tab: 6 x (P, cap) ray components; mask (P, cap); counts (P,).
+    tab: 6 x (P, cap) ray components; mask (P, cap); counts (P,)
+    distinct-slot spans (min(total, cap); the first `counts[p]`
+    slots of pair p hold distinct matches — cyclic fill).
     Returns (best_E (P, 3, 3), best_count (P,))."""
     x1, y1, z1, x2, y2, z2 = tab
     P = x1.shape[0]

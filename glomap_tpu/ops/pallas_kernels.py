@@ -25,6 +25,7 @@ tested on CPU against the XLA reference implementations.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -586,7 +587,8 @@ def block_width_for_sorted(ids: np.ndarray, block: int = 2048) -> int:
 # overlapping windows is race-free. The output rides an aliased
 # pre-zeroed input in ANY memory space; window row offsets round down
 # to the 8-row sublane tile (w2 = width + 8 slack).
-_ACCUM_POSTLUDE = True
+# GLOMAP_ACCUM_POSTLUDE=0 restores the scatter postlude (A/B hatch)
+_ACCUM_POSTLUDE = os.environ.get("GLOMAP_ACCUM_POSTLUDE", "1") != "0"
 # accumulator tables at most this big stay RESIDENT IN VMEM across grid
 # steps (out block constant -> Mosaic keeps it on-chip, zero DMA); bigger
 # tables use the windowed HBM read-modify-write. The RMW chain serializes
