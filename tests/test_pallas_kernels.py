@@ -370,3 +370,35 @@ def test_segment_ids_from_offsets_matches_searchsorted():
         got = np.asarray(
             segment_ids_from_offsets(jnp.asarray(offsets), n_pad))
         np.testing.assert_array_equal(np.minimum(got, P), np.minimum(want, P))
+
+
+def test_accum_postlude_rmw_variant_matches(monkeypatch):
+    """Force the big-table HBM read-modify-write accumulator (normally
+    chosen only above _VMEM_TABLE_BYTES, so CPU interpret tests would
+    otherwise only ever exercise the VMEM-resident variant) and assert
+    both rowsum kernels match the reference on sorted ids with empty
+    segments and a ragged tail."""
+    monkeypatch.setattr(pk, "_VMEM_TABLE_BYTES", 0)
+    rng = np.random.default_rng(9)
+    n, t, k, block = 5000, 400, 9, 512
+    ids = np.sort(rng.integers(0, t, size=n)).astype(np.int32)
+    vals = rng.standard_normal((k, n))
+    ref = np.zeros((t, k))
+    np.add.at(ref, ids, vals.T)
+    width = pk.block_width_for_sorted(ids, block=block)
+    out = np.asarray(pk.sorted_segment_rowsum(
+        jnp.asarray(vals), jnp.asarray(ids), t, width, block=block,
+        interpret=True, exact=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-9)
+    # pair-product variant through the same RMW path
+    U = rng.standard_normal((2, n))
+    V = rng.standard_normal((3, n))
+    pairs = (((0, 0),), ((0, 1), (1, 2)))
+    ref2 = np.zeros((t, len(pairs)))
+    prod = np.stack([sum(U[a] * V[b] for a, b in terms)
+                     for terms in pairs])
+    np.add.at(ref2, ids, prod.T)
+    out2 = np.asarray(pk.sorted_segment_pair_rowsum(
+        jnp.asarray(U), jnp.asarray(V), pairs, jnp.asarray(ids), t,
+        width, block=block, interpret=True))
+    np.testing.assert_allclose(out2, ref2, rtol=1e-6, atol=1e-8)
