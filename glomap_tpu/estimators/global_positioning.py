@@ -713,7 +713,7 @@ def solve_global_positioning(scene: Scene, vg: ViewGraph, tracks: Tracks,
 
 
 def rescue_unplaced_frames(scene: Scene, vg: ViewGraph, tracks,
-                           min_valid_obs: int = 1,
+                           min_valid_obs: int = 3,
                            max_outlier_frac: float = 0.5) -> int:
     """Re-position registered frames that lost (almost) every valid
     observation — the GP random-init death spiral: a frame LM never
@@ -729,7 +729,10 @@ def rescue_unplaced_frames(scene: Scene, vg: ViewGraph, tracks,
     geometry, global_positioning.cc:167-214): c minimizes
     sum_k w_k |P_k (c - a_k)|^2 over neighbor rays (a_k, u_k), with
     Huber IRLS on the perpendicular distance. Host numpy — the frame
-    count here is ~0-3 per scene. Returns #frames rescued."""
+    count here is ~0-3 per scene. min_valid_obs=3: a frame below the
+    min-track-support threshold cannot be reliably bundle-adjusted
+    either, and the pair-direction solve uses strictly more information
+    than its residual observations. Returns #frames rescued."""
     if tracks.num_obs == 0 or vg.num_pairs == 0:
         return 0
     ob = tracks.obs_valid & tracks.valid[tracks.obs_track]
